@@ -1,0 +1,30 @@
+"""primitive3d_tpu — TPU-native 3D geometry processing in JAX/XLA/Pallas.
+
+A from-scratch framework with the capabilities of lzhnb/Primitive3D (marching
+cubes, marching tetrahedra, ray casting against triangle meshes, PLY export),
+redesigned TPU-first: pure-XLA + Pallas compute, jnp.cumsum prefix-scan
+compaction instead of CUDA atomics, jax.sharding for multi-chip scale-out.
+
+Public API mirrors the reference's surface (reference: prim3d/__init__.py:2-16).
+"""
+from .core.timer import Timer, TimerError, time_fn
+from .core.grid import scale_to_bound
+from .ops.marching_cubes import (
+    MCResult,
+    marching_cubes,
+    marching_cubes_counts,
+    marching_cubes_padded,
+)
+from .version import __version__
+
+__all__ = [
+    "__version__",
+    "Timer",
+    "TimerError",
+    "time_fn",
+    "scale_to_bound",
+    "MCResult",
+    "marching_cubes",
+    "marching_cubes_counts",
+    "marching_cubes_padded",
+]

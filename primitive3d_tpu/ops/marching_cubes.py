@@ -1,0 +1,300 @@
+"""TPU-native marching cubes on dense density grids (pure XLA, differentiable).
+
+Covers the reference's CUDA marching cubes (reference:
+src/prim3d/Utility/marching_cubes.cu:4-305 — three kernels: count /
+gen_vertices / gen_faces with atomicAdd slot allocation and a host counter
+readback between passes) with a TPU-first design:
+
+  * **No atomics, no dynamic shapes.** Vertex/face slots are assigned by an
+    exclusive ``jnp.cumsum`` prefix scan over deterministic axis-major edge
+    order, and results are scattered into static-capacity padded buffers.
+    The whole pipeline is a single ``jit``-compatible, fusable XLA program —
+    no device→host sync between passes (the reference syncs at
+    marching_cubes.cu:251-252).
+  * **Deterministic output order** (the reference's atomics are not).
+  * **Differentiable**: vertex positions are smooth functions of the density
+    samples through the edge-interpolation weight
+    ``dt = (thresh - d0) / (d1 - d0)`` (reference: marching_cubes.cu:105), and
+    gradients flow through the scatter. The reference's CUDA MC is *not*
+    differentiable; this one is.
+  * **Consistent bbox convention** ``world = index * (upper-lower)/res + lower``
+    (the reference's GPU path has a copy-paste bug mixing bbox components,
+    marching_cubes.cu:293-297, and its CPU path divides where the GPU path
+    multiplies; we fix rather than port — see module docs in core/grid.py).
+
+Vertex ordering: all x-axis crossing vertices in C-order of the (X-1,Y,Z) edge
+grid, then y-axis, then z-axis. Face ordering: C-order over cubes, up to 5
+triangles per cube (table order).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import ScaleLike, resolve_bounds
+from . import mc_tables as T
+
+Array = jax.Array
+
+_TRI_TABLE = jnp.asarray(T.TRI_TABLE.astype(np.int32))  # (256, 16)
+_NUM_TRIS = jnp.asarray(T.NUM_TRIS)  # (256,)
+MAX_TRIS_PER_CUBE = T.MAX_TRIS_PER_CUBE
+
+
+class MCResult(NamedTuple):
+    """Padded marching-cubes output (static shapes, jit-friendly).
+
+    ``vertices[:num_vertices]`` and ``faces[:num_faces]`` are valid; the tail is
+    zero padding. ``num_*`` may exceed the capacity if the buffers overflowed —
+    check ``overflowed`` before trusting a padded result.
+    """
+
+    vertices: Array  # (vert_capacity, 3) float32
+    faces: Array  # (face_capacity, 3) int32
+    num_vertices: Array  # () int32  (true count, may exceed capacity)
+    num_faces: Array  # () int32
+
+    @property
+    def overflowed(self) -> Array:
+        return (self.num_vertices > self.vertices.shape[0]) | (
+            self.num_faces > self.faces.shape[0]
+        )
+
+
+def _crossing_masks(occ: Array) -> Tuple[Array, Array, Array]:
+    """Edge sign-change masks along x/y/z (reference: marching_cubes.cu:29-45)."""
+    cx = occ[:-1, :, :] != occ[1:, :, :]
+    cy = occ[:, :-1, :] != occ[:, 1:, :]
+    cz = occ[:, :, :-1] != occ[:, :, 1:]
+    return cx, cy, cz
+
+
+def _cube_mask(occ: Array) -> Array:
+    """Per-cube 8-bit corner mask (reference: marching_cubes.cu:49-57)."""
+    m = occ[:-1, :-1, :-1] * 1
+    m = m + occ[1:, :-1, :-1] * 2
+    m = m + occ[1:, 1:, :-1] * 4
+    m = m + occ[:-1, 1:, :-1] * 8
+    m = m + occ[:-1, :-1, 1:] * 16
+    m = m + occ[1:, :-1, 1:] * 32
+    m = m + occ[1:, 1:, 1:] * 64
+    m = m + occ[:-1, 1:, 1:] * 128
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("thresh_is_dynamic",))
+def _counts_impl(density: Array, thresh: Array, thresh_is_dynamic: bool = True):
+    occ = density > thresh
+    cx, cy, cz = _crossing_masks(occ)
+    nv = (
+        jnp.sum(cx, dtype=jnp.int32)
+        + jnp.sum(cy, dtype=jnp.int32)
+        + jnp.sum(cz, dtype=jnp.int32)
+    )
+    nf = jnp.sum(_NUM_TRIS[_cube_mask(occ.astype(jnp.int32))], dtype=jnp.int32)
+    return nv, nf
+
+
+def marching_cubes_counts(
+    density: Array, thresh: Union[float, Array]
+) -> Tuple[Array, Array]:
+    """Jittable (num_vertices, num_faces) for capacity sizing.
+
+    TPU-native analog of the reference's count pass
+    (marching_cubes.cu:4-68) — but usable without a host sync.
+    """
+    density = jnp.asarray(density, jnp.float32)
+    return _counts_impl(density, jnp.float32(thresh))
+
+
+def _edge_vertex_data(density: Array, thresh: Array, occ: Array):
+    """Per-axis crossing masks, exclusive-scan vertex ids, and positions.
+
+    Returns (masks, ids, positions) per axis. Ids are global: x-axis vertices
+    first (C-order), then y, then z — a deterministic replacement for the
+    reference's atomicAdd slot allocation (marching_cubes.cu:104,117,130).
+    """
+    cx, cy, cz = _crossing_masks(occ)
+    nx = jnp.sum(cx, dtype=jnp.int32)
+    ny = jnp.sum(cy, dtype=jnp.int32)
+
+    def excl_ids(c):
+        cf = c.reshape(-1).astype(jnp.int32)
+        return jnp.cumsum(cf) - cf
+
+    ids_x = excl_ids(cx)
+    ids_y = excl_ids(cy) + nx
+    ids_z = excl_ids(cz) + nx + ny
+
+    def interp(d0, d1):
+        denom = d1 - d0
+        safe = jnp.where(denom == 0, jnp.float32(1), denom)
+        return jnp.clip((thresh - d0) / safe, 0.0, 1.0)
+
+    dt_x = interp(density[:-1, :, :], density[1:, :, :])
+    dt_y = interp(density[:, :-1, :], density[:, 1:, :])
+    dt_z = interp(density[:, :, :-1], density[:, :, 1:])
+    return (cx, cy, cz), (ids_x, ids_y, ids_z), (dt_x, dt_y, dt_z)
+
+
+def _axis_positions(shape, axis: int, dt: Array) -> Array:
+    """World-free (index-space) positions of the vertices on ``axis`` edges."""
+    ex, ey, ez = shape
+    gx = jax.lax.broadcasted_iota(jnp.float32, (ex, ey, ez), 0)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (ex, ey, ez), 1)
+    gz = jax.lax.broadcasted_iota(jnp.float32, (ex, ey, ez), 2)
+    coords = [gx, gy, gz]
+    coords[axis] = coords[axis] + dt
+    return jnp.stack([c.reshape(-1) for c in coords], axis=-1)  # (E, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vert_capacity", "face_capacity")
+)
+def _mc_padded_impl(
+    density: Array,
+    thresh: Array,
+    lower: Array,
+    upper: Array,
+    vert_capacity: int,
+    face_capacity: int,
+) -> MCResult:
+    X, Y, Z = density.shape
+    occ = density > thresh
+    occ_i = occ.astype(jnp.int32)
+
+    (cx, cy, cz), (ids_x, ids_y, ids_z), (dt_x, dt_y, dt_z) = _edge_vertex_data(
+        density, thresh, occ
+    )
+    num_vertices = (
+        jnp.sum(cx, dtype=jnp.int32)
+        + jnp.sum(cy, dtype=jnp.int32)
+        + jnp.sum(cz, dtype=jnp.int32)
+    )
+
+    # --- vertices: scatter positions at their scan-assigned slots ------------
+    scale = (upper - lower) / jnp.asarray([X, Y, Z], jnp.float32)
+    verts = jnp.zeros((vert_capacity, 3), jnp.float32)
+    for axis, (c, ids, dt) in enumerate(
+        ((cx, ids_x, dt_x), (cy, ids_y, dt_y), (cz, ids_z, dt_z))
+    ):
+        pos = _axis_positions(dt.shape, axis, dt) * scale + lower
+        slot = jnp.where(c.reshape(-1), ids, vert_capacity)  # OOB -> dropped
+        verts = verts.at[slot].set(pos, mode="drop", unique_indices=True)
+
+    # --- faces ---------------------------------------------------------------
+    # Vertex-id lookup grids, one per axis (the reference materialises a dense
+    # (X,Y,Z,3) "vertex_grids" int map, marching_cubes.cu:257-259; we keep the
+    # three scan-id arrays and read cube-local edges as pure slices).
+    vgx = ids_x.reshape(X - 1, Y, Z)
+    vgy = ids_y.reshape(X, Y - 1, Z)
+    vgz = ids_z.reshape(X, Y, Z - 1)
+
+    # The 12 cube-edge vertex ids as slices over the (X-1, Y-1, Z-1) cube grid
+    # (ordering matches the reference's local_edges, marching_cubes.cu:179-192
+    # == standard Bourke edge numbering, see ops/mc_tables.py).
+    e = [
+        vgx[:, :-1, :-1],  # 0: x-edge at (x,   y,   z)
+        vgy[1:, :, :-1],  # 1: y-edge at (x+1, y,   z)
+        vgx[:, 1:, :-1],  # 2: x-edge at (x,   y+1, z)
+        vgy[:-1, :, :-1],  # 3: y-edge at (x,   y,   z)
+        vgx[:, :-1, 1:],  # 4: x-edge at (x,   y,   z+1)
+        vgy[1:, :, 1:],  # 5: y-edge at (x+1, y,   z+1)
+        vgx[:, 1:, 1:],  # 6: x-edge at (x,   y+1, z+1)
+        vgy[:-1, :, 1:],  # 7: y-edge at (x,   y,   z+1)
+        vgz[:-1, :-1, :],  # 8: z-edge at (x,   y,   z)
+        vgz[1:, :-1, :],  # 9: z-edge at (x+1, y,   z)
+        vgz[1:, 1:, :],  # 10: z-edge at (x+1, y+1, z)
+        vgz[:-1, 1:, :],  # 11: z-edge at (x,   y+1, z)
+    ]
+    edge_vids = jnp.stack([a.reshape(-1) for a in e], axis=-1)  # (C, 12)
+
+    mask = _cube_mask(occ_i).reshape(-1)  # (C,)
+    ntris = _NUM_TRIS[mask]  # (C,)
+    base = jnp.cumsum(ntris) - ntris  # exclusive scan -> face slot base
+    num_faces = jnp.sum(ntris)
+    tri_edges = _TRI_TABLE[mask]  # (C, 16)
+
+    faces = jnp.zeros((face_capacity, 3), jnp.int32)
+    for k in range(MAX_TRIS_PER_CUBE):
+        ek = tri_edges[:, 3 * k : 3 * k + 3]  # (C, 3) cube-edge ids (or -1)
+        vids = jnp.take_along_axis(edge_vids, jnp.maximum(ek, 0), axis=-1)
+        slot = jnp.where(k < ntris, base + k, face_capacity)
+        faces = faces.at[slot].set(vids, mode="drop", unique_indices=True)
+
+    return MCResult(verts, faces, num_vertices, num_faces)
+
+
+def marching_cubes_padded(
+    density: Array,
+    thresh: Union[float, Array],
+    *,
+    vert_capacity: int,
+    face_capacity: int,
+    lower=None,
+    upper=None,
+) -> MCResult:
+    """Jittable, differentiable marching cubes with static-capacity outputs.
+
+    This is the building block for sharded / fused pipelines: fixed shapes in,
+    fixed shapes out, no host synchronisation. Use :func:`marching_cubes` for
+    an eager exact-size API mirroring the reference.
+    """
+    density = jnp.asarray(density, jnp.float32)
+    if density.ndim != 3 or min(density.shape) < 2:
+        raise ValueError(
+            f"density must be a 3-D grid with every dim >= 2, got {density.shape}"
+        )
+    X, Y, Z = density.shape
+    lo = jnp.asarray([0.0, 0.0, 0.0] if lower is None else lower, jnp.float32)
+    up = jnp.asarray([X, Y, Z] if upper is None else upper, jnp.float32)
+    return _mc_padded_impl(
+        density, jnp.float32(thresh), lo, up, int(vert_capacity), int(face_capacity)
+    )
+
+
+def _round_capacity(n: int) -> int:
+    """Round up to the next power-of-two-ish bucket to bound recompilation."""
+    n = max(int(n), 16)
+    return 1 << (n - 1).bit_length()
+
+
+def marching_cubes(
+    density,
+    thresh: float,
+    scale: Optional[ScaleLike] = None,
+    verbose: bool = False,
+) -> Tuple[Array, Array]:
+    """Eager marching cubes: exact-size (vertices, faces), reference-style API.
+
+    Mirrors ``prim3d.marching_cubes`` (reference:
+    prim3d/utility/marching_cubes.py:34-98): ``scale`` is normalised to a bbox
+    via the same rules; returns float32 vertices in world space and int32
+    faces. Performs one device→host sync for the counts (the reference does
+    the same readback, marching_cubes.cu:251-252), then runs the fused padded
+    kernel and trims.
+    """
+    density = jnp.asarray(density, jnp.float32)
+    if density.ndim != 3 or min(density.shape) < 2:
+        raise ValueError(
+            f"density must be a 3-D grid with every dim >= 2, got {density.shape}"
+        )
+    lower, upper = resolve_bounds(density.shape, scale)
+    nv, nf = marching_cubes_counts(density, thresh)
+    nv, nf = int(nv), int(nf)
+    res = marching_cubes_padded(
+        density,
+        thresh,
+        vert_capacity=_round_capacity(nv),
+        face_capacity=_round_capacity(nf),
+        lower=lower,
+        upper=upper,
+    )
+    if verbose:
+        print(f"#vertices={nv}")
+        print(f"#triangles={nf}")
+    return res.vertices[:nv], res.faces[:nf]
