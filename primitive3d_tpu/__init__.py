@@ -9,6 +9,7 @@ Public API mirrors the reference's surface (reference: prim3d/__init__.py:2-16).
 """
 from .core.timer import Timer, TimerError, time_fn
 from .core.grid import scale_to_bound
+from .io.ply import load_mesh, save_mesh
 from .ops.marching_cubes import (
     MCResult,
     marching_cubes,
@@ -23,6 +24,8 @@ __all__ = [
     "TimerError",
     "time_fn",
     "scale_to_bound",
+    "save_mesh",
+    "load_mesh",
     "MCResult",
     "marching_cubes",
     "marching_cubes_counts",
