@@ -16,7 +16,16 @@ from .ops.marching_cubes import (
     marching_cubes_counts,
     marching_cubes_padded,
 )
+from .ops.marching_tetrahedra import (
+    MTResult,
+    marching_tetrahedra,
+    marching_tetrahedra_padded,
+)
 from .version import __version__
+
+# Reference-compatible alias (the reference spells it "tetrahedras",
+# prim3d/__init__.py:5-6).
+marching_tetrahedras = marching_tetrahedra
 
 __all__ = [
     "__version__",
@@ -30,4 +39,8 @@ __all__ = [
     "marching_cubes",
     "marching_cubes_counts",
     "marching_cubes_padded",
+    "MTResult",
+    "marching_tetrahedra",
+    "marching_tetrahedras",
+    "marching_tetrahedra_padded",
 ]

@@ -1,0 +1,250 @@
+"""Differentiable marching tetrahedra (DMTet-style) in pure JAX.
+
+Covers the reference's ``prim3d.marching_tetrahedras`` (reference:
+prim3d/utility/marching_tetrahedras.py:89-235, itself adapted from kaolin's
+tetmesh.py) with a TPU-first, jit-compatible design:
+
+  * ``torch.unique`` has no dynamic-shape JAX twin, so edge deduplication is a
+    multi-key ``jax.lax.sort`` over the 6T (min,max) vertex pairs followed by
+    run-length head detection and two exclusive prefix scans (group ids and
+    crossing-vertex slots) — all static shapes.
+  * The orientation correction (signed tet volume via a 4x4 determinant,
+    reference :50-65) is applied functionally; the input ``tets`` array is
+    NOT mutated (the reference flips the caller's tensor in place, :148 — a
+    bug we fix rather than port).
+  * Vertex positions use the same SDF-weighted edge interpolation
+    (reference :175-189) and are differentiable wrt both ``vertices`` and
+    ``sdf``; everything discrete is integer-typed or stop-gradient by
+    construction.
+  * Vertex ordering matches the reference/kaolin exactly (lexicographic over
+    sorted edge pairs — ``torch.unique`` sorts too). Face *rows* are ordered
+    by tet index (the reference groups all 1-triangle tets before 2-triangle
+    tets); parity tests canonicalise.
+
+The 16-entry tables are the standard public marching-tetrahedra tables (same
+data as the reference :7-43).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+# Local tet edges 0..5 connect corners EDGES[e] (reference :33-43).
+TET_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], dtype=np.int32
+)
+
+# TRI_TABLE[mask] -> up to 2 triangles as local-edge ids, -1 padded, where
+# mask bit i is set iff sdf[corner i] > 0 (reference :7-27).
+MT_TRI_TABLE = np.array(
+    [
+        [-1, -1, -1, -1, -1, -1],  # 0000
+        [1, 0, 2, -1, -1, -1],  # 0001
+        [4, 0, 3, -1, -1, -1],  # 0010
+        [1, 4, 2, 1, 3, 4],  # 0011
+        [3, 1, 5, -1, -1, -1],  # 0100
+        [2, 3, 0, 2, 5, 3],  # 0101
+        [1, 4, 0, 1, 5, 4],  # 0110
+        [4, 2, 5, -1, -1, -1],  # 0111
+        [4, 5, 2, -1, -1, -1],  # 1000
+        [4, 1, 0, 4, 5, 1],  # 1001
+        [3, 2, 0, 3, 5, 2],  # 1010
+        [1, 3, 5, -1, -1, -1],  # 1011
+        [4, 1, 2, 4, 3, 1],  # 1100
+        [3, 0, 4, -1, -1, -1],  # 1101
+        [2, 0, 1, -1, -1, -1],  # 1110
+        [-1, -1, -1, -1, -1, -1],  # 1111
+    ],
+    dtype=np.int32,
+)
+MT_NUM_TRIS = np.array(
+    [0, 1, 1, 2, 1, 2, 2, 1, 1, 2, 2, 1, 2, 1, 1, 0], dtype=np.int32
+)
+
+_TRI_TABLE = jnp.asarray(MT_TRI_TABLE)
+_NUM_TRIS = jnp.asarray(MT_NUM_TRIS)
+_TET_EDGES = jnp.asarray(TET_EDGES)
+
+
+class MTResult(NamedTuple):
+    """Padded marching-tetrahedra output (static shapes, jit-friendly)."""
+
+    vertices: Array  # (vert_capacity, 3) float32
+    faces: Array  # (face_capacity, 3) int32
+    tet_idx: Array  # (face_capacity,) int32, -1 padded
+    num_vertices: Array  # () int32
+    num_faces: Array  # () int32
+
+    @property
+    def overflowed(self) -> Array:
+        return (self.num_vertices > self.vertices.shape[0]) | (
+            self.num_faces > self.faces.shape[0]
+        )
+
+
+def _oriented_tets(vertices: Array, tets: Array) -> Array:
+    """Flip tets with negative signed volume (reference :50-65), functionally."""
+    hom = jnp.concatenate(
+        [jnp.ones((*tets.shape, 1), vertices.dtype), vertices[tets]], axis=-1
+    )  # (T, 4, 4)
+    dets = jnp.linalg.det(jax.lax.stop_gradient(hom))
+    flipped = tets[:, jnp.asarray([1, 0, 2, 3])]
+    return jnp.where((dets < 0)[:, None], flipped, tets)
+
+
+@functools.partial(jax.jit, static_argnames=("vert_capacity", "face_capacity"))
+def _mt_padded_impl(
+    vertices: Array,
+    tets: Array,
+    sdf: Array,
+    vert_capacity: int,
+    face_capacity: int,
+) -> MTResult:
+    N = vertices.shape[0]
+    T = tets.shape[0]
+    E = 6 * T
+
+    tets = _oriented_tets(vertices, tets)
+
+    occ = sdf > 0  # (N,)
+    occ4 = occ[tets]  # (T, 4)
+    occ_sum = jnp.sum(occ4, axis=-1)
+    valid_tet = (occ_sum > 0) & (occ_sum < 4)  # (T,)
+
+    # --- edge list: (min, max) vertex pairs; invalid tets -> (N, N) sentinel
+    ev = tets[:, _TET_EDGES]  # (T, 6, 2)
+    ea = jnp.minimum(ev[..., 0], ev[..., 1])
+    eb = jnp.maximum(ev[..., 0], ev[..., 1])
+    ea = jnp.where(valid_tet[:, None], ea, N).reshape(E)
+    eb = jnp.where(valid_tet[:, None], eb, N).reshape(E)
+
+    # --- dedup via lexicographic sort + run-length heads (torch.unique analog)
+    orig_idx = jnp.arange(E, dtype=jnp.int32)
+    sa, sb, sidx = jax.lax.sort((ea, eb, orig_idx), num_keys=2)
+    head = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1]),
+        ]
+    )
+    valid_e = sa < N  # sentinel pairs excluded
+
+    occ_ext = jnp.concatenate([occ, jnp.zeros((1,), bool)])
+    crossing = occ_ext[jnp.minimum(sa, N)] != occ_ext[jnp.minimum(sb, N)]
+    is_new_vertex = head & valid_e & crossing
+
+    # vertex slot for each unique crossing edge (exclusive scan over heads)
+    inv = is_new_vertex.astype(jnp.int32)
+    vslot = jnp.cumsum(inv) - inv  # (E,) valid at head positions
+    num_vertices = jnp.sum(inv)
+
+    # propagate the head's vertex id (or -1) to every duplicate in its group
+    gid = jnp.cumsum(head.astype(jnp.int32)) - 1  # (E,)
+    head_vid = jnp.where(is_new_vertex, vslot, -1)
+    group_vid = jnp.zeros((E,), jnp.int32).at[jnp.where(head, gid, E)].set(
+        head_vid, mode="drop", unique_indices=True
+    )
+    vid_sorted = group_vid[gid]
+
+    # back to original (tet, local-edge) layout
+    edge_vid = (
+        jnp.zeros((E,), jnp.int32)
+        .at[sidx]
+        .set(vid_sorted, mode="drop", unique_indices=True)
+        .reshape(T, 6)
+    )
+
+    # --- vertex positions: sdf-weighted lerp on unique crossing edges --------
+    a_idx = jnp.minimum(sa, N - 1)
+    b_idx = jnp.minimum(sb, N - 1)
+    s_a = sdf[a_idx]
+    s_b = sdf[b_idx]
+    denom = s_a - s_b
+    denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    w_a = -s_b / denom
+    w_b = s_a / denom
+    pos = vertices[a_idx] * w_a[:, None] + vertices[b_idx] * w_b[:, None]
+
+    verts = (
+        jnp.zeros((vert_capacity, 3), vertices.dtype)
+        .at[jnp.where(is_new_vertex, vslot, vert_capacity)]
+        .set(pos, mode="drop", unique_indices=True)
+    )
+
+    # --- faces ---------------------------------------------------------------
+    table_idx = jnp.sum(
+        occ4.astype(jnp.int32) * jnp.asarray([1, 2, 4, 8], jnp.int32), axis=-1
+    )  # (T,)
+    ntris = jnp.where(valid_tet, _NUM_TRIS[table_idx], 0)
+    base = jnp.cumsum(ntris) - ntris
+    num_faces = jnp.sum(ntris)
+    tri_edges = _TRI_TABLE[table_idx]  # (T, 6)
+
+    faces = jnp.zeros((face_capacity, 3), jnp.int32)
+    tet_of_face = jnp.full((face_capacity,), -1, jnp.int32)
+    tids = jnp.arange(T, dtype=jnp.int32)
+    for k in range(2):
+        ek = tri_edges[:, 3 * k : 3 * k + 3]  # (T, 3)
+        vids = jnp.take_along_axis(edge_vid, jnp.maximum(ek, 0), axis=-1)
+        slot = jnp.where(k < ntris, base + k, face_capacity)
+        faces = faces.at[slot].set(vids, mode="drop", unique_indices=True)
+        tet_of_face = tet_of_face.at[slot].set(
+            tids, mode="drop", unique_indices=True
+        )
+
+    return MTResult(verts, faces, tet_of_face, num_vertices, num_faces)
+
+
+def marching_tetrahedra_padded(
+    vertices,
+    tets,
+    sdf,
+    *,
+    vert_capacity: int,
+    face_capacity: int,
+) -> MTResult:
+    """Jittable, differentiable marching tetrahedra with padded outputs.
+
+    Capacity bounds: at most ``6 * num_tets`` vertices (in practice far fewer:
+    unique crossing edges) and ``2 * num_tets`` faces.
+    """
+    vertices = jnp.asarray(vertices, jnp.float32)
+    tets = jnp.asarray(tets, jnp.int32)
+    sdf = jnp.asarray(sdf, jnp.float32)
+    if vertices.ndim != 2 or vertices.shape[-1] != 3:
+        raise ValueError(f"vertices must be (N, 3), got {vertices.shape}")
+    if tets.ndim != 2 or tets.shape[-1] != 4:
+        raise ValueError(f"tets must be (T, 4), got {tets.shape}")
+    if sdf.shape != (vertices.shape[0],):
+        raise ValueError(f"sdf must be (N,), got {sdf.shape}")
+    return _mt_padded_impl(
+        vertices, tets, sdf, int(vert_capacity), int(face_capacity)
+    )
+
+
+def marching_tetrahedra(
+    vertices,
+    tets,
+    sdf,
+    return_tet_idx: bool = False,
+) -> Union[Tuple[Array, Array], Tuple[Array, Array, Array]]:
+    """Eager marching tetrahedra: exact-size (vertices, faces[, tet_idx]).
+
+    API mirrors the reference (reference :89-235); differentiable through the
+    returned vertices. ``tets`` is not mutated.
+    """
+    tets = jnp.asarray(tets, jnp.int32)
+    T = tets.shape[0]
+    res = marching_tetrahedra_padded(
+        vertices, tets, sdf, vert_capacity=6 * T, face_capacity=2 * T
+    )
+    nv, nf = int(res.num_vertices), int(res.num_faces)
+    if return_tet_idx:
+        return res.vertices[:nv], res.faces[:nf], res.tet_idx[:nf]
+    return res.vertices[:nv], res.faces[:nf]
