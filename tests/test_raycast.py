@@ -1,0 +1,212 @@
+"""Ray casting: numpy-oracle parity, BVH-vs-bruteforce equivalence, semantics.
+
+The reference has NO ray-casting test or example at all (README.md:49 open
+TODO); this coverage is new design per SURVEY.md §4.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from primitive3d_tpu.raycast import BruteForceRayCaster, create_raycaster
+from primitive3d_tpu.bvh.caster import BvhRayCaster
+from primitive3d_tpu.bvh.lbvh import build_lbvh
+from tests.oracles.raycast_numpy import cast_numpy, icosphere
+
+
+def random_rays(n, rng, spread=2.0):
+    o = rng.standard_normal((n, 3)) * spread
+    d = rng.standard_normal((n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o.astype(np.float32), d.astype(np.float32)
+
+
+def rays_at_sphere(n, rng, radius=3.0):
+    """Rays from a shell pointing at jittered sphere-interior targets."""
+    o = rng.standard_normal((n, 3))
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * radius
+    target = rng.standard_normal((n, 3)) * 0.3
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o.astype(np.float32), d.astype(np.float32)
+
+
+class TestBruteForceVsNumpyOracle:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_random_soup(self, seed):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal((30, 3)).astype(np.float32)
+        f = rng.integers(0, 30, (40, 3)).astype(np.int32)
+        o, d = random_rays(50, rng)
+        t_ref, n_ref, id_ref = cast_numpy(v, f, o, d)
+
+        rc = BruteForceRayCaster(v, f)
+        hits = rc.cast(o, d)
+        np.testing.assert_allclose(np.asarray(hits.depth), t_ref, rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(hits.face_id), id_ref)
+        np.testing.assert_allclose(np.asarray(hits.normals), n_ref, atol=2e-5)
+
+
+class TestBvhVsBruteForce:
+    @pytest.mark.parametrize("subdiv", [1, 2, 3])
+    def test_icosphere(self, subdiv):
+        rng = np.random.default_rng(subdiv)
+        v, f = icosphere(subdiv)
+        o, d = rays_at_sphere(256, rng)
+        bf = BruteForceRayCaster(v, f).cast(o, d)
+        bvh = BvhRayCaster(v, f).cast(o, d)
+        np.testing.assert_allclose(
+            np.asarray(bvh.depth), np.asarray(bf.depth), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(bvh.face_id), np.asarray(bf.face_id)
+        )
+        np.testing.assert_allclose(
+            np.asarray(bvh.normals), np.asarray(bf.normals), atol=1e-5
+        )
+
+    def test_random_soup_many(self):
+        rng = np.random.default_rng(7)
+        v = (rng.standard_normal((200, 3)) * 1.5).astype(np.float32)
+        f = rng.integers(0, 200, (500, 3)).astype(np.int32)
+        o, d = random_rays(400, rng)
+        bf = BruteForceRayCaster(v, f).cast(o, d)
+        bvh = BvhRayCaster(v, f).cast(o, d)
+        np.testing.assert_allclose(
+            np.asarray(bvh.depth), np.asarray(bf.depth), rtol=1e-5, atol=1e-5
+        )
+        # face ids may differ only on exact-tie depths; require 99%+ equal
+        same = np.asarray(bvh.face_id) == np.asarray(bf.face_id)
+        assert same.mean() > 0.99
+
+
+class TestMxuVsBruteForce:
+    """The Plücker-matmul caster must agree with the u/v/t formulation."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_soup(self, seed):
+        from primitive3d_tpu.raycast import MxuRayCaster
+
+        rng = np.random.default_rng(seed)
+        v = (rng.standard_normal((100, 3)) * 1.5).astype(np.float32)
+        f = rng.integers(0, 100, (300, 3)).astype(np.int32)
+        o, d = random_rays(300, rng)
+        bf = BruteForceRayCaster(v, f).cast(o, d)
+        mx = MxuRayCaster(v, f).cast(o, d)
+        np.testing.assert_allclose(
+            np.asarray(mx.depth), np.asarray(bf.depth), rtol=2e-4, atol=2e-4
+        )
+        same = np.asarray(mx.face_id) == np.asarray(bf.face_id)
+        assert same.mean() > 0.99  # ties / grazing edges may differ
+
+    def test_icosphere(self):
+        from primitive3d_tpu.raycast import MxuRayCaster
+
+        rng = np.random.default_rng(5)
+        v, f = icosphere(2)
+        o, d = rays_at_sphere(256, rng)
+        bf = BruteForceRayCaster(v, f).cast(o, d)
+        mx = MxuRayCaster(v, f).cast(o, d)
+        np.testing.assert_allclose(
+            np.asarray(mx.depth), np.asarray(bf.depth), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mx.face_id), np.asarray(bf.face_id)
+        )
+
+
+class TestSemantics:
+    def test_analytic_sphere_depth(self):
+        rng = np.random.default_rng(3)
+        v, f = icosphere(3)
+        o, d = rays_at_sphere(128, rng, radius=3.0)
+        hits = create_raycaster(v, f, backend="bvh").cast(o, d)
+        # all rays pass near origin -> hit the unit sphere ~2 units away
+        depth = np.asarray(hits.depth)
+        assert (depth < 10.0).all()
+        # entry point lies on the mesh (|p| ~ 1, icosphere(3) is within 1% of unit)
+        p = o + depth[:, None] * d
+        r = np.linalg.norm(p, axis=1)
+        assert np.all(np.abs(r - 1.0) < 0.02)
+        # normals point outward on a sphere
+        cos = np.sum(np.asarray(hits.normals) * p, axis=1) / r
+        assert np.all(np.abs(cos) > 0.95)
+
+    def test_miss_semantics(self):
+        v, f = icosphere(1)
+        o = np.array([[5.0, 0, 0], [0, 5.0, 0]], np.float32)
+        d = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32)  # away from mesh
+        for backend in ("bruteforce", "bvh"):
+            hits = create_raycaster(v, f, backend=backend).cast(o, d)
+            np.testing.assert_allclose(np.asarray(hits.depth), [10.0, 10.0])
+            np.testing.assert_array_equal(np.asarray(hits.face_id), [-1, -1])
+            np.testing.assert_array_equal(
+                np.asarray(hits.normals), np.zeros((2, 3))
+            )
+
+    def test_max_dist_cutoff(self):
+        v, f = icosphere(1)
+        o = np.array([[3.0, 0.01, 0.02]], np.float32)
+        d = np.array([[-1.0, 0, 0]], np.float32)
+        near = create_raycaster(v, f, backend="bvh", max_dist=1.0).cast(o, d)
+        assert int(np.asarray(near.face_id)[0]) == -1
+        assert float(np.asarray(near.depth)[0]) == 1.0
+        far = create_raycaster(v, f, backend="bvh", max_dist=10.0).cast(o, d)
+        assert int(np.asarray(far.face_id)[0]) >= 0
+
+    def test_auto_backend_and_invoke_alias(self):
+        from primitive3d_tpu.raycast import MxuRayCaster
+
+        v, f = icosphere(1)
+        rc = create_raycaster(v, f)  # auto -> MXU
+        assert isinstance(rc, MxuRayCaster)
+        o = np.zeros((4, 3), np.float32)
+        d = np.tile(np.array([1.0, 0, 0], np.float32), (4, 1))
+        h1 = rc.cast(o, d)
+        h2 = rc.invoke(o, d)
+        np.testing.assert_array_equal(np.asarray(h1.depth), np.asarray(h2.depth))
+
+
+class TestLbvhStructure:
+    @pytest.mark.parametrize("n", [2, 3, 17, 100])
+    def test_tree_invariants(self, n):
+        rng = np.random.default_rng(n)
+        tris = jnp.asarray(rng.standard_normal((n, 3, 3)), jnp.float32)
+        bvh = build_lbvh(tris)
+        left = np.asarray(bvh.left)
+        right = np.asarray(bvh.right)
+        lo = np.asarray(bvh.box_lo)
+        hi = np.asarray(bvh.box_hi)
+        ts = np.asarray(bvh.tris_sorted)
+
+        # every leaf reachable exactly once by walking from the root
+        seen = []
+        stack = [0]
+        while stack:
+            node = stack.pop()
+            for c in (left[node], right[node]):
+                if c < 0:
+                    seen.append(~c)
+                else:
+                    stack.append(c)
+        assert sorted(seen) == list(range(n))
+
+        # node boxes contain their subtree's triangles
+        def subtree_leaves(node):
+            out, st = [], [node]
+            while st:
+                m = st.pop()
+                for c in (left[m], right[m]):
+                    if c < 0:
+                        out.append(~c)
+                    else:
+                        st.append(c)
+            return out
+
+        for node in range(n - 1):
+            leaves = subtree_leaves(node)
+            pts = ts[leaves].reshape(-1, 3)
+            assert (pts.min(0) >= lo[node] - 1e-5).all()
+            assert (pts.max(0) <= hi[node] + 1e-5).all()
+
+        # prim_order is a permutation
+        assert sorted(np.asarray(bvh.prim_order)) == list(range(n))
