@@ -40,9 +40,29 @@ from . import mc_tables as T
 
 Array = jax.Array
 
-_TRI_TABLE = jnp.asarray(T.TRI_TABLE.astype(np.int32))  # (256, 16)
+# (16, 256) layout: gathering columns by cube mask yields (16, C) with the
+# huge cube dimension trailing — the natural TPU tiling. A (C, 16) layout pads
+# the 16-wide minor dim to 128 lanes (8x memory blowup at 256^3).
+_TRI_TABLE_T = jnp.asarray(T.TRI_TABLE.astype(np.int32).T)
 _NUM_TRIS = jnp.asarray(T.NUM_TRIS)  # (256,)
 MAX_TRIS_PER_CUBE = T.MAX_TRIS_PER_CUBE
+
+
+def _excl_cumsum_flat(x: Array, block: int = 4096) -> Array:
+    """Exclusive prefix sum of a flat int array, blocked for TPU.
+
+    A direct 1-D ``jnp.cumsum`` over tens of millions of elements lowers
+    poorly on TPU; two-level scan (intra-block reduce-window + tiny
+    inter-block scan) keeps everything in wide tiles.
+    """
+    n = x.shape[0]
+    pad = (-n) % block
+    xp = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]).reshape(-1, block)
+    intra = jnp.cumsum(xp, axis=1)
+    totals = intra[:, -1]
+    offsets = jnp.cumsum(totals) - totals
+    incl = intra + offsets[:, None]
+    return (incl.reshape(-1)[:n]) - x
 
 
 class MCResult(NamedTuple):
@@ -123,8 +143,7 @@ def _edge_vertex_data(density: Array, thresh: Array, occ: Array):
     ny = jnp.sum(cy, dtype=jnp.int32)
 
     def excl_ids(c):
-        cf = c.reshape(-1).astype(jnp.int32)
-        return jnp.cumsum(cf) - cf
+        return _excl_cumsum_flat(c.reshape(-1).astype(jnp.int32))
 
     ids_x = excl_ids(cx)
     ids_y = excl_ids(cy) + nx
@@ -141,15 +160,19 @@ def _edge_vertex_data(density: Array, thresh: Array, occ: Array):
     return (cx, cy, cz), (ids_x, ids_y, ids_z), (dt_x, dt_y, dt_z)
 
 
-def _axis_positions(shape, axis: int, dt: Array) -> Array:
-    """World-free (index-space) positions of the vertices on ``axis`` edges."""
+def _axis_positions(shape, axis: int, dt: Array):
+    """Index-space positions of the vertices on ``axis`` edges.
+
+    Returns three flat (E,) coordinate arrays (kept separate: a stacked (E, 3)
+    layout would pad the 3-wide minor dim to 128 lanes on TPU).
+    """
     ex, ey, ez = shape
     gx = jax.lax.broadcasted_iota(jnp.float32, (ex, ey, ez), 0)
     gy = jax.lax.broadcasted_iota(jnp.float32, (ex, ey, ez), 1)
     gz = jax.lax.broadcasted_iota(jnp.float32, (ex, ey, ez), 2)
     coords = [gx, gy, gz]
     coords[axis] = coords[axis] + dt
-    return jnp.stack([c.reshape(-1) for c in coords], axis=-1)  # (E, 3)
+    return [c.reshape(-1) for c in coords]
 
 
 @functools.partial(
@@ -177,14 +200,20 @@ def _mc_padded_impl(
     )
 
     # --- vertices: scatter positions at their scan-assigned slots ------------
+    # One 1-D scatter per coordinate: (E,) -> (vert_capacity,). Row-vector
+    # scatters of (E, 3) pad the minor dim ~42x on TPU and lower to loops.
     scale = (upper - lower) / jnp.asarray([X, Y, Z], jnp.float32)
-    verts = jnp.zeros((vert_capacity, 3), jnp.float32)
+    vcols = [jnp.zeros((vert_capacity,), jnp.float32) for _ in range(3)]
     for axis, (c, ids, dt) in enumerate(
         ((cx, ids_x, dt_x), (cy, ids_y, dt_y), (cz, ids_z, dt_z))
     ):
-        pos = _axis_positions(dt.shape, axis, dt) * scale + lower
+        pos = _axis_positions(dt.shape, axis, dt)
         slot = jnp.where(c.reshape(-1), ids, vert_capacity)  # OOB -> dropped
-        verts = verts.at[slot].set(pos, mode="drop", unique_indices=True)
+        for j in range(3):
+            vcols[j] = vcols[j].at[slot].set(
+                pos[j] * scale[j] + lower[j], mode="drop", unique_indices=True
+            )
+    verts = jnp.stack(vcols, axis=-1)
 
     # --- faces ---------------------------------------------------------------
     # Vertex-id lookup grids, one per axis (the reference materialises a dense
@@ -211,20 +240,25 @@ def _mc_padded_impl(
         vgz[1:, 1:, :],  # 10: z-edge at (x+1, y+1, z)
         vgz[:-1, 1:, :],  # 11: z-edge at (x,   y+1, z)
     ]
-    edge_vids = jnp.stack([a.reshape(-1) for a in e], axis=-1)  # (C, 12)
+    # (12, C): the huge cube dimension trails -> clean lane tiling.
+    edge_vids = jnp.stack([a.reshape(-1) for a in e], axis=0)
 
     mask = _cube_mask(occ_i).reshape(-1)  # (C,)
     ntris = _NUM_TRIS[mask]  # (C,)
-    base = jnp.cumsum(ntris) - ntris  # exclusive scan -> face slot base
+    base = _excl_cumsum_flat(ntris)  # face slot base per cube
     num_faces = jnp.sum(ntris)
-    tri_edges = _TRI_TABLE[mask]  # (C, 16)
+    tri_edges = _TRI_TABLE_T[:, mask]  # (16, C)
 
-    faces = jnp.zeros((face_capacity, 3), jnp.int32)
+    fcols = [jnp.zeros((face_capacity,), jnp.int32) for _ in range(3)]
     for k in range(MAX_TRIS_PER_CUBE):
-        ek = tri_edges[:, 3 * k : 3 * k + 3]  # (C, 3) cube-edge ids (or -1)
-        vids = jnp.take_along_axis(edge_vids, jnp.maximum(ek, 0), axis=-1)
         slot = jnp.where(k < ntris, base + k, face_capacity)
-        faces = faces.at[slot].set(vids, mode="drop", unique_indices=True)
+        for j in range(3):
+            ej = jnp.maximum(tri_edges[3 * k + j], 0)  # (C,) cube-edge id
+            vid = jnp.take_along_axis(edge_vids, ej[None, :], axis=0)[0]
+            fcols[j] = fcols[j].at[slot].set(
+                vid, mode="drop", unique_indices=True
+            )
+    faces = jnp.stack(fcols, axis=-1)
 
     return MCResult(verts, faces, num_vertices, num_faces)
 
