@@ -1,0 +1,275 @@
+"""Multi-chip marching cubes: voxel-slab sharding with halo exchange.
+
+The distributed analog of the single-chip op (ops/marching_cubes.py), built
+the TPU way (SURVEY.md §5 "long-context" row): the density grid is sharded
+into x-axis slabs across the mesh; each shard exchanges a single halo row
+with its +x neighbour over ICI (``jax.lax.ppermute`` — the ring/halo
+communication the reference never needed on one GPU), and vertex/face slots
+come from a *globally consistent* numbering with no cross-shard duplication:
+
+  * Vertices are numbered row-major: lattice row i owns the contiguous block
+    ``[y-edge crossings(i), z-edge crossings(i), x-edge crossings(i)]``.
+    Row order y,z,x is load-bearing: a shard can compute its +x halo row's
+    y/z vertex ids purely from halo-row data (y/z crossings live within a
+    row), which is exactly the set of foreign ids its seam cubes reference.
+    SURVEY.md §7 hard part #4 (seam edges must get ONE global id) is solved
+    by construction — the id of a seam vertex is the same arithmetic on
+    either side of the seam.
+  * Per-row counts are all-gathered (X values — tiny) and exclusive-scanned
+    identically on every shard, replacing the reference's atomic counters
+    with a distributed prefix scan.
+  * Every shard owns a contiguous global id range, so outputs are per-shard
+    padded buffers that concatenate into the global padded result.
+
+Fully differentiable wrt the density grid (ppermute transposes to the
+reverse permute in the backward pass).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import mc_tables as T
+from ..ops.marching_cubes import _excl_cumsum_flat
+
+Array = jax.Array
+
+_TRI_TABLE_T = jnp.asarray(T.TRI_TABLE.astype(__import__("numpy").int32).T)
+_NUM_TRIS = jnp.asarray(T.NUM_TRIS)
+
+
+class ShardedMCResult(NamedTuple):
+    """Per-shard padded outputs; concatenating shard-validity windows yields
+    the global mesh. ``vert_base/face_base`` are each shard's global id
+    offsets, ``vert_count/face_count`` its valid item counts."""
+
+    vertices: Array  # (S * vert_cap_per_shard, 3)
+    faces: Array  # (S * face_cap_per_shard, 3)
+    vert_base: Array  # (S,)
+    face_base: Array  # (S,)
+    vert_count: Array  # (S,)
+    face_count: Array  # (S,)
+
+
+def _row_ids(c: Array) -> Array:
+    """Exclusive within-row ranks for a (rows, ...) crossing mask."""
+    rows = c.shape[0]
+    flat = c.reshape(rows, -1).astype(jnp.int32)
+    return (jnp.cumsum(flat, axis=1) - flat).reshape(c.shape)
+
+
+def sharded_marching_cubes(
+    mesh: Mesh,
+    density: Array,
+    thresh: float,
+    *,
+    vert_cap_per_shard: int,
+    face_cap_per_shard: int,
+    axis_name: str = "x",
+) -> ShardedMCResult:
+    """Marching cubes over an x-sharded grid. Jittable under ``mesh``.
+
+    ``density`` is (X, Y, Z) with X divisible by the mesh axis size. Vertex
+    world coordinates use the index-space convention (scale externally).
+    """
+    S = mesh.shape[axis_name]
+    X, Y, Z = density.shape
+    if X % S != 0:
+        raise ValueError(f"X={X} not divisible by mesh axis {axis_name}={S}")
+    Xs = X // S
+    thresh = jnp.float32(thresh)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None),),
+        out_specs=(
+            P(axis_name, None),  # vertices
+            P(axis_name, None),  # faces
+            P(axis_name),  # vert_base
+            P(axis_name),  # face_base
+            P(axis_name),  # vert_count
+            P(axis_name),  # face_count
+        ),
+    )
+    def impl(slab: Array):
+        s = jax.lax.axis_index(axis_name)
+        # --- halo exchange: receive the next shard's first row -------------
+        first_row = slab[0:1]
+        perm = [(i, (i - 1) % S) for i in range(S)]
+        halo = jax.lax.ppermute(first_row, axis_name, perm)
+        # Last shard wraps around; replace with its own last row (=> no
+        # crossings/cubes past the grid boundary).
+        halo = jnp.where(s == S - 1, slab[-1:], halo)
+        g = jnp.concatenate([slab, halo], axis=0)  # (Xs+1, Y, Z)
+
+        occ = g > thresh
+        occ_i = occ.astype(jnp.int32)
+
+        # crossings; y/z include the halo row, x covers owned rows only
+        cy = occ[:, :-1, :] != occ[:, 1:, :]  # (Xs+1, Y-1, Z)
+        cz = occ[:, :, :-1] != occ[:, :, 1:]  # (Xs+1, Y, Z-1)
+        cx = occ[:-1] != occ[1:]  # (Xs,   Y,   Z)
+
+        ny = jnp.sum(cy, axis=(1, 2), dtype=jnp.int32)  # (Xs+1,)
+        nz = jnp.sum(cz, axis=(1, 2), dtype=jnp.int32)
+        nx = jnp.sum(cx, axis=(1, 2), dtype=jnp.int32)  # (Xs,)
+        row_tot_local = ny[:Xs] + nz[:Xs] + nx  # owned rows
+
+        # --- global per-row offsets (distributed prefix scan) --------------
+        row_tot_all = jax.lax.all_gather(
+            row_tot_local, axis_name, tiled=True
+        )  # (X,)
+        row_off = jnp.cumsum(row_tot_all) - row_tot_all  # (X,) identical everywhere
+        total_v = jnp.sum(row_tot_all)
+
+        grow = s * Xs + jnp.arange(Xs + 1)  # global row of local row i
+        grow_c = jnp.minimum(grow, X - 1)
+        off = row_off[grow_c]  # (Xs+1,) base id of each visible row
+        # out-of-grid halo row (last shard): no vertices, point past end
+        off = jnp.where(grow > X - 1, total_v, off)
+
+        # --- vertex ids (global) -------------------------------------------
+        idy = off[:, None, None] + _row_ids(cy)  # (Xs+1, Y-1, Z)
+        idz = (off + ny)[:, None, None] + _row_ids(cz)
+        idx = (off[:Xs] + ny[:Xs] + nz[:Xs])[:, None, None] + _row_ids(cx)
+
+        # --- scatter owned vertices into the per-shard buffer ---------------
+        vbase = off[0]
+        vcount = row_off[jnp.minimum((s + 1) * Xs, X - 1)] - vbase
+        vcount = jnp.where((s + 1) * Xs > X - 1, total_v - vbase, vcount)
+
+        gx0 = (s * Xs).astype(jnp.float32)
+        vcols = [jnp.zeros((vert_cap_per_shard,), jnp.float32) for _ in range(3)]
+
+        def interp(d0, d1):
+            den = d1 - d0
+            den = jnp.where(den == 0, 1.0, den)
+            return jnp.clip((thresh - d0) / den, 0.0, 1.0)
+
+        def emit(axis, c, ids, dt, shape):
+            rows, a, b = shape
+            fx = jax.lax.broadcasted_iota(jnp.float32, shape, 0) + gx0
+            fy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+            fz = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+            coords = [fx, fy, fz]
+            coords[axis] = coords[axis] + dt
+            slot = jnp.where(
+                c, ids - vbase, vert_cap_per_shard
+            ).reshape(-1)
+            slot = jnp.where(
+                (slot >= 0) & (slot < vert_cap_per_shard),
+                slot,
+                vert_cap_per_shard,
+            )
+            out = []
+            for j in range(3):
+                out.append(
+                    vcols[j]
+                    .at[slot]
+                    .set(coords[j].reshape(-1), mode="drop", unique_indices=True)
+                )
+            return out
+
+        # owned y/z rows only (halo row's y/z vertices belong to the next shard)
+        vcols = emit(1, cy[:Xs], idy[:Xs], interp(g[:Xs, :-1, :], g[:Xs, 1:, :]), (Xs, Y - 1, Z))
+        vcols = emit(2, cz[:Xs], idz[:Xs], interp(g[:Xs, :, :-1], g[:Xs, :, 1:]), (Xs, Y, Z - 1))
+        vcols = emit(0, cx, idx, interp(g[:-1], g[1:]), (Xs, Y, Z))
+        verts = jnp.stack(vcols, axis=-1)
+
+        # --- faces -----------------------------------------------------------
+        # cube rows 0..Xs-1 (global rows s*Xs .. s*Xs+Xs-1; cubes exist for
+        # global rows < X-1 — the trailing rows on the last shard produce
+        # mask 0 automatically because halo == last row there)
+        m = (
+            occ_i[:-1, :-1, :-1] * 1
+            + occ_i[1:, :-1, :-1] * 2
+            + occ_i[1:, 1:, :-1] * 4
+            + occ_i[:-1, 1:, :-1] * 8
+            + occ_i[:-1, :-1, 1:] * 16
+            + occ_i[1:, :-1, 1:] * 32
+            + occ_i[1:, 1:, 1:] * 64
+            + occ_i[:-1, 1:, 1:] * 128
+        )  # (Xs, Y-1, Z-1)
+        # mask out cubes whose +x row is outside the grid (defensive; halo
+        # trick already zeroes them) and whose global row >= X-1
+        cube_valid = (grow[:Xs] < X - 1)[:, None, None]
+        m = jnp.where(cube_valid, m, 0)
+        mask = m.reshape(Xs, -1)
+
+        ntris = _NUM_TRIS[mask]  # (Xs, C_row)
+        row_f = jnp.sum(ntris, axis=1, dtype=jnp.int32)
+        row_f_all = jax.lax.all_gather(row_f, axis_name, tiled=True)  # (X,)
+        frow_off = jnp.cumsum(row_f_all) - row_f_all
+        total_f = jnp.sum(row_f_all)
+        fbase = frow_off[jnp.minimum(s * Xs, X - 1)]
+        fnext = jnp.minimum((s + 1) * Xs, X)
+        fcount = jnp.where(
+            fnext >= X, total_f - fbase, frow_off[jnp.minimum(fnext, X - 1)] - fbase
+        )
+
+        # face slot base per cube: row offset + within-row exclusive scan
+        base = (
+            frow_off[grow_c[:Xs]][:, None]
+            + jnp.cumsum(ntris, axis=1)
+            - ntris
+        ).reshape(-1)
+        ntris_f = ntris.reshape(-1)
+        tri_edges = _TRI_TABLE_T[:, mask.reshape(-1)]  # (16, C)
+
+        # the 12 cube-edge vertex ids (same layout as single-chip, global ids)
+        e = [
+            idx[:, :-1, :-1], idy[1:, :, :-1], idx[:, 1:, :-1], idy[:-1, :, :-1],
+            idx[:, :-1, 1:], idy[1:, :, 1:], idx[:, 1:, 1:], idy[:-1, :, 1:],
+            idz[:-1, :-1, :], idz[1:, :-1, :], idz[1:, 1:, :], idz[:-1, 1:, :],
+        ]
+        edge_vids = jnp.stack([a.reshape(-1) for a in e], axis=0)  # (12, C)
+
+        fcols = [jnp.zeros((face_cap_per_shard,), jnp.int32) for _ in range(3)]
+        for k in range(T.MAX_TRIS_PER_CUBE):
+            slot = jnp.where(k < ntris_f, base + k - fbase, face_cap_per_shard)
+            slot = jnp.where(
+                (slot >= 0) & (slot < face_cap_per_shard),
+                slot,
+                face_cap_per_shard,
+            )
+            for j in range(3):
+                ej = jnp.maximum(tri_edges[3 * k + j], 0)
+                vid = jnp.take_along_axis(edge_vids, ej[None, :], axis=0)[0]
+                fcols[j] = fcols[j].at[slot].set(
+                    vid, mode="drop", unique_indices=True
+                )
+        faces = jnp.stack(fcols, axis=-1)
+
+        return (
+            verts,
+            faces,
+            vbase[None],
+            fbase[None],
+            vcount[None],
+            fcount[None],
+        )
+
+    v, f, vb, fb, vc, fc = impl(density)
+    return ShardedMCResult(v, f, vb, fb, vc, fc)
+
+
+def gather_sharded_mesh(res: ShardedMCResult) -> Tuple[Array, Array]:
+    """Host-side compaction of a ShardedMCResult into exact-size arrays."""
+    import numpy as np
+
+    S = res.vert_base.shape[0]
+    vcap = res.vertices.shape[0] // S
+    fcap = res.faces.shape[0] // S
+    v = np.asarray(res.vertices).reshape(S, vcap, 3)
+    f = np.asarray(res.faces).reshape(S, fcap, 3)
+    vn = np.asarray(res.vert_count)
+    fn = np.asarray(res.face_count)
+    verts = np.concatenate([v[s, : vn[s]] for s in range(S)], axis=0)
+    faces = np.concatenate([f[s, : fn[s]] for s in range(S)], axis=0)
+    return verts, faces

@@ -1,0 +1,116 @@
+"""Distributed layer on the virtual 8-device CPU mesh.
+
+Sharded marching cubes (halo exchange + global ids) must agree with the
+single-chip op up to canonicalisation; sharded ray casting must agree
+exactly; gradients must match the single-chip gradients.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import primitive3d_tpu as p3d
+from primitive3d_tpu.core.canonical import assert_meshes_equal
+from primitive3d_tpu.parallel.marching_cubes import (
+    gather_sharded_mesh,
+    sharded_marching_cubes,
+)
+from primitive3d_tpu.parallel.mesh import make_mesh
+from primitive3d_tpu.parallel.raycast import make_sharded_cast
+from primitive3d_tpu.raycast import create_raycaster
+from tests.oracles.raycast_numpy import icosphere
+
+
+def sphere_grid(n, c=None, r=None):
+    c = n / 2 if c is None else c
+    r = n / 4 if r is None else r
+    x, y, z = np.mgrid[:n, :n, :n].astype(np.float64)
+    return -((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2 - r**2)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "tests require the 8-device CPU mesh"
+    return make_mesh(8, axis_name="x")
+
+
+class TestShardedMC:
+    @pytest.mark.parametrize("n", [16, 32])
+    def test_matches_single_chip(self, mesh8, n):
+        grid = jnp.asarray(sphere_grid(n), jnp.float32)
+        v_ref, f_ref = p3d.marching_cubes(grid, 0.0)
+
+        res = sharded_marching_cubes(
+            mesh8, grid, 0.0, vert_cap_per_shard=4096, face_cap_per_shard=8192
+        )
+        v, f = gather_sharded_mesh(res)
+        assert v.shape == np.asarray(v_ref).shape
+        assert f.shape == np.asarray(f_ref).shape
+        assert_meshes_equal(v, f, np.asarray(v_ref), np.asarray(f_ref))
+
+    def test_random_grid(self, mesh8):
+        rng = np.random.default_rng(0)
+        grid = jnp.asarray(rng.standard_normal((16, 9, 11)), jnp.float32)
+        v_ref, f_ref = p3d.marching_cubes(grid, 0.1)
+        res = sharded_marching_cubes(
+            mesh8, grid, 0.1, vert_cap_per_shard=2048, face_cap_per_shard=4096
+        )
+        v, f = gather_sharded_mesh(res)
+        assert_meshes_equal(v, f, np.asarray(v_ref), np.asarray(f_ref))
+
+    def test_seam_vertices_unique(self, mesh8):
+        """Vertices on shard seams must not be duplicated (hard part #4)."""
+        grid = jnp.asarray(sphere_grid(16), jnp.float32)
+        res = sharded_marching_cubes(
+            mesh8, grid, 0.0, vert_cap_per_shard=2048, face_cap_per_shard=4096
+        )
+        v, f = gather_sharded_mesh(res)
+        # exact duplicates would appear if seam edges got two ids
+        uniq = np.unique(np.round(v, 5), axis=0)
+        assert uniq.shape[0] == v.shape[0]
+        # faces reference valid global ids
+        assert f.min() >= 0 and f.max() < v.shape[0]
+
+    def test_gradient_matches_single_chip(self, mesh8):
+        grid = jnp.asarray(sphere_grid(16, c=8.49, r=3.93), jnp.float32)
+
+        def loss_sharded(g):
+            res = sharded_marching_cubes(
+                mesh8, g, 0.0, vert_cap_per_shard=1024, face_cap_per_shard=2048
+            )
+            return jnp.sum(res.vertices ** 2)
+
+        def loss_single(g):
+            r = p3d.marching_cubes_padded(
+                g, 0.0, vert_capacity=8192, face_capacity=16384
+            )
+            return jnp.sum(r.vertices ** 2)
+
+        gs = jax.grad(loss_sharded)(grid)
+        g1 = jax.grad(loss_single)(grid)
+        # same vertex set, same positions -> identical loss and gradient
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(g1), rtol=1e-4, atol=1e-4
+        )
+
+
+class TestShardedRaycast:
+    def test_matches_single_chip(self):
+        mesh = make_mesh(8, axis_name="data")
+        v, f = icosphere(2)
+        rc = create_raycaster(v, f, backend="mxu")
+
+        rng = np.random.default_rng(0)
+        o = (rng.standard_normal((512, 3)) * 2).astype(np.float32)
+        d = rng.standard_normal((512, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+        ref = rc.cast(o, d)
+        cast = make_sharded_cast(rc, mesh)
+        out = cast(jnp.asarray(o), jnp.asarray(d))
+        np.testing.assert_allclose(
+            np.asarray(out.depth), np.asarray(ref.depth), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.face_id), np.asarray(ref.face_id)
+        )
