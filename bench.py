@@ -91,32 +91,54 @@ def main():
     log(f"MT 12045 tets: {sec*1e3:.2f} ms = {tets.shape[0]/sec/1e6:.2f} Mtet/s")
 
     # --- ray casting: bunny 512x512 (primary metric) ------------------------
+    # Tile-blocked camera rays (coherent 1024-ray kernel blocks) + amortized
+    # loop-in-jit timing: on this backend only a host fetch truly
+    # synchronizes, and each sync round-trip costs ~25-30 ms.
+    from primitive3d_tpu.render.camera import camera_rays
+    from primitive3d_tpu.bvh.clusters import build_clusters
+    from primitive3d_tpu.kernels.raycast_kernel import cast_clusters
+
     vb = np.asarray(v) / 66.0
     fb = np.asarray(f)
     H = W = 512
-    o = np.tile(np.array([0.5, 0.5, -1.5], np.float32), (H * W, 1))
-    ys, xs = np.mgrid[0:H, 0:W]
-    d = np.stack(
-        [
-            (xs.ravel() + 0.5) / W - 0.5,
-            (ys.ravel() + 0.5) / H - 0.5,
-            np.full(H * W, 1.2),
-        ],
-        -1,
-    ).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    cam = camera_rays(H, W, origin=(0.5, 0.5, -1.5), look_at=(0.5, 0.5, 0.5),
+                      fov_y=35.0)
+    oj = jnp.asarray(cam.origins)
+    dj = jnp.asarray(cam.dirs)
+
+    def amortized(fn, *args, K=10):
+        @jax.jit
+        def looped(*args):
+            def body(i, acc):
+                out = fn(args[0] + acc * 1e-30, *args[1:])
+                return acc + out
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+        float(looped(*args))  # compile + warm
+        t0 = time.perf_counter()
+        float(looped(*args))
+        return (time.perf_counter() - t0) / K
 
     best = None
-    for backend in ("mxu", "bvh"):
-        try:
-            rc = create_raycaster(vb, fb, backend=backend)
-            sec = time_fn(rc.cast, o, d, iters=5, warmup=2)
-            rps = H * W / sec
-            log(f"raycast[{backend}] bunny {H}x{W}: {sec*1e3:.2f} ms = {rps/1e6:.2f} Mrays/s")
-            if best is None or rps > best[1]:
-                best = (backend, rps)
-        except Exception as e:  # noqa: BLE001
-            log(f"raycast[{backend}] failed: {e}")
+    tris = jnp.asarray(vb[fb])
+    cb = jax.block_until_ready(build_clusters(tris))
+    hit_frac = float(
+        (np.asarray(cast_clusters(cb, oj, dj)[1]) >= 0).mean()
+    )
+    log(f"pallas hit fraction: {hit_frac:.3f}")
+    sec = amortized(lambda o, d: cast_clusters(cb, o, d)[0][0], oj, dj)
+    rps = H * W / sec
+    log(f"raycast[pallas] bunny {H}x{W}: {sec*1e3:.2f} ms = {rps/1e6:.2f} Mrays/s")
+    best = ("pallas", rps)
+
+    try:
+        rc = create_raycaster(vb, fb, backend="mxu")
+        sec = amortized(lambda o, d: rc.cast(o, d).depth[0], oj, dj, K=3)
+        rps = H * W / sec
+        log(f"raycast[mxu] bunny {H}x{W}: {sec*1e3:.2f} ms = {rps/1e6:.2f} Mrays/s")
+        if rps > best[1]:
+            best = ("mxu", rps)
+    except Exception as e:  # noqa: BLE001
+        log(f"raycast[mxu] failed: {e}")
 
     backend, rays_per_s = best
     log(f"primary: {backend} {rays_per_s/1e6:.2f} Mrays/s")

@@ -1,0 +1,210 @@
+"""Pallas TPU ray-casting kernel: two-level cluster traversal on VPU tiles.
+
+The performance path replacing the reference's CUDA ``raytrace_kernel``
+(reference: src/prim3d/Geometry/bvh.cu:311-346 — one thread per ray, stack
+traversal, sorted 4-wide children). TPU-shaped instead of CUDA-shaped:
+
+  * Rays are processed 1024 per program as (8, 128) f32 tiles — one VPU tile
+    per ray-vector component. No per-ray stacks, no divergence: control flow
+    is per *cluster*, decided by the scalar unit.
+  * The whole acceleration structure (cluster AABBs + triangle SoA from
+    bvh/clusters.py) lives in VMEM — for bunny-scale meshes (~1 MB) there is
+    no HBM traffic in the inner loop at all.
+  * Per cluster: a slab test of all 1024 rays at once; the cluster's 128
+    triangles are only tested when some ray enters the box closer than its
+    current best hit (``@pl.when`` on a scalar any-reduce) — the cheap
+    early-out that replaces stack ordering.
+  * Inner loop: scalar-broadcast Möller-Trumbore — the triangle's 9 scalars
+    (a, e1, e2) broadcast against the ray tiles; running (t, id) min kept in
+    registers.
+
+Exact same hit semantics as the other backends (double-sided, miss at
+t < 0 or t >= max_dist).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..bvh.clusters import CLUSTER_SIZE, ClusterBVH
+
+Array = jax.Array
+
+RAY_BLOCK = 1024  # rays per program: (8, 128) tiles
+MISS = jnp.float32(3.0e38)
+
+
+GROUP = 32  # clusters per cull/process phase pair
+
+
+def _kernel(boxes_ref, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+            dz_ref, depth_ref, idx_ref, flags_ref, *, num_clusters,
+            cluster_size, max_dist):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    inv_x = 1.0 / dx
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
+
+    best0 = jnp.full((8, 128), max_dist, jnp.float32)
+    idx0 = jnp.full((8, 128), -1, jnp.int32)
+    num_groups = (num_clusters + GROUP - 1) // GROUP
+
+    def group_body(g, carry):
+        best, bidx = carry
+
+        # --- vector phase: cull flags for the whole group, no branches ------
+        # The any-reduce -> scalar transfer has long latency; batching GROUP
+        # of them back-to-back keeps the vector pipeline full, and the scalar
+        # loop below branches on cheap SMEM loads instead of waiting on a
+        # fresh vector reduction per cluster.
+        def cull_body(j, _):
+            c = jnp.minimum(g * GROUP + j, num_clusters - 1)
+            lx = boxes_ref[c, 0]
+            ly = boxes_ref[c, 1]
+            lz = boxes_ref[c, 2]
+            hx = boxes_ref[c, 3]
+            hy = boxes_ref[c, 4]
+            hz = boxes_ref[c, 5]
+            tx0 = (lx - ox) * inv_x
+            tx1 = (hx - ox) * inv_x
+            ty0 = (ly - oy) * inv_y
+            ty1 = (hy - oy) * inv_y
+            tz0 = (lz - oz) * inv_z
+            tz1 = (hz - oz) * inv_z
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            useful = (tmin <= tmax) & (tmax >= 0.0) & (tmin < best)
+            in_range = (g * GROUP + j) < num_clusters
+            flags_ref[j] = (
+                jnp.any(useful).astype(jnp.int32) * in_range.astype(jnp.int32)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, cull_body, 0)
+
+        # --- scalar phase: process flagged clusters -------------------------
+        def proc_body(j, carry):
+            best, bidx = carry
+            c = g * GROUP + j
+
+            def with_cluster(carry):
+                best, bidx = carry
+                return _tri_loop(c, best, bidx)
+
+            return jax.lax.cond(
+                flags_ref[j] != 0, with_cluster, lambda cr: cr, (best, bidx)
+            )
+
+        def _tri_loop(c, best, bidx):
+            def tri_body(m, carry2):
+                best, bidx = carry2
+                ax = tri_ref[c, m, 0]
+                ay = tri_ref[c, m, 1]
+                az = tri_ref[c, m, 2]
+                e1x = tri_ref[c, m, 3]
+                e1y = tri_ref[c, m, 4]
+                e1z = tri_ref[c, m, 5]
+                e2x = tri_ref[c, m, 6]
+                e2y = tri_ref[c, m, 7]
+                e2z = tri_ref[c, m, 8]
+                # h = rd x e2
+                hx_ = dy * e2z - dz * e2y
+                hy_ = dz * e2x - dx * e2z
+                hz_ = dx * e2y - dy * e2x
+                det = e1x * hx_ + e1y * hy_ + e1z * hz_
+                f = 1.0 / jnp.where(det == 0.0, 1e-30, det)
+                sx = ox - ax
+                sy = oy - ay
+                sz = oz - az
+                u = f * (sx * hx_ + sy * hy_ + sz * hz_)
+                # q = s x e1
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (dx * qx + dy * qy + dz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                ok = (
+                    (det != 0.0)
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & ((u + v) <= 1.0)
+                    & (t >= 0.0)
+                    & (t < best)
+                )
+                best = jnp.where(ok, t, best)
+                bidx = jnp.where(ok, c * cluster_size + m, bidx)
+                return best, bidx
+
+            return jax.lax.fori_loop(0, cluster_size, tri_body, (best, bidx))
+
+        return jax.lax.fori_loop(0, GROUP, proc_body, (best, bidx))
+
+    best, bidx = jax.lax.fori_loop(0, num_groups, group_body, (best0, idx0))
+    depth_ref[:] = best
+    idx_ref[:] = bidx
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist", "interpret"))
+def cast_clusters(
+    bvh: ClusterBVH,
+    origins: Array,
+    dirs: Array,
+    max_dist: float = 10.0,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Closest hit for rays (R, 3): returns (t, sorted-triangle index).
+
+    R is padded to a multiple of RAY_BLOCK internally; indices refer to the
+    Morton-sorted order (map through ``bvh.prim_order`` for original ids).
+    """
+    R = origins.shape[0]
+    pad = (-R) % RAY_BLOCK
+    o = jnp.concatenate([origins, jnp.zeros((pad, 3), jnp.float32)])
+    d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
+    Rp = R + pad
+    rows = Rp // 128
+
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+    comps = [c.reshape(rows, 128) for c in comps]
+
+    C = bvh.num_clusters
+    grid = (rows // 8,)
+    ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    depth, idx = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            num_clusters=C,
+            cluster_size=bvh.tri_data.shape[1],
+            max_dist=float(max_dist),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes (C, 6)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_data (C, 128, 9)
+            *[ray_spec] * 6,
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((GROUP,), jnp.int32)],
+        interpret=interpret,
+    )(bvh.boxes, bvh.tri_data, *comps)
+    return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]

@@ -143,6 +143,38 @@ class MxuRayCaster(RayCaster):
         return RayHits(depth, normals, idx)
 
 
+class PallasRayCaster(RayCaster):
+    """Two-level cluster caster as a Pallas TPU kernel (the fast path).
+
+    Falls back to interpreter mode off-TPU (tests); see
+    kernels/raycast_kernel.py for the design.
+    """
+
+    def __init__(self, vertices, faces, max_dist=DEFAULT_MAX_DIST):
+        super().__init__(vertices, faces, max_dist)
+        from .bvh.clusters import build_clusters
+
+        self.cbvh = jax.block_until_ready(build_clusters(self.triangles))
+
+    def cast(self, origins, directions) -> RayHits:
+        from .kernels.raycast_kernel import cast_clusters
+
+        o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
+        d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        depth, sidx = cast_clusters(
+            self.cbvh, o, d, max_dist=self.max_dist, interpret=interpret
+        )
+        hit = sidx >= 0
+        safe = jnp.maximum(sidx, 0)
+        row = self.cbvh.tri_data.reshape(-1, 9)[safe]  # (R, 9): a, e1, e2
+        n = jnp.cross(row[:, 3:6], row[:, 6:9])
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+        normals = jnp.where(hit[:, None], n, 0.0)
+        face_id = jnp.where(hit, self.cbvh.prim_order[safe], -1)
+        return RayHits(depth, normals, face_id)
+
+
 class BruteForceRayCaster(RayCaster):
     """Exact all-pairs caster; oracle + small-mesh fast path."""
 
@@ -173,6 +205,8 @@ def create_raycaster(
         backend = "mxu"
     if backend == "mxu":
         return MxuRayCaster(vertices, faces, max_dist)
+    if backend == "pallas":
+        return PallasRayCaster(vertices, faces, max_dist)
     if backend == "bruteforce":
         return BruteForceRayCaster(vertices, faces, max_dist)
     if backend == "bvh":

@@ -114,6 +114,46 @@ class TestMxuVsBruteForce:
         )
 
 
+class TestPallasVsBruteForce:
+    """Pallas cluster kernel (interpret mode on CPU) vs the oracle."""
+
+    def test_icosphere(self):
+        from primitive3d_tpu.raycast import PallasRayCaster
+
+        rng = np.random.default_rng(11)
+        v, f = icosphere(2)
+        o, d = rays_at_sphere(300, rng)
+        bf = BruteForceRayCaster(v, f).cast(o, d)
+        pk = PallasRayCaster(v, f).cast(o, d)
+        np.testing.assert_allclose(
+            np.asarray(pk.depth), np.asarray(bf.depth), rtol=1e-4, atol=1e-4
+        )
+        same = np.asarray(pk.face_id) == np.asarray(bf.face_id)
+        assert same.mean() > 0.99
+        np.testing.assert_allclose(
+            np.asarray(pk.normals)[same],
+            np.asarray(bf.normals)[same],
+            atol=1e-4,
+        )
+
+    def test_random_soup_and_misses(self):
+        from primitive3d_tpu.raycast import PallasRayCaster
+
+        rng = np.random.default_rng(12)
+        v = (rng.standard_normal((150, 3)) * 1.5).astype(np.float32)
+        f = rng.integers(0, 150, (400, 3)).astype(np.int32)
+        o, d = random_rays(200, rng)
+        bf = BruteForceRayCaster(v, f).cast(o, d)
+        pk = PallasRayCaster(v, f).cast(o, d)
+        np.testing.assert_allclose(
+            np.asarray(pk.depth), np.asarray(bf.depth), rtol=1e-4, atol=1e-4
+        )
+        # miss rows identical
+        np.testing.assert_array_equal(
+            np.asarray(pk.face_id) < 0, np.asarray(bf.face_id) < 0
+        )
+
+
 class TestSemantics:
     def test_analytic_sphere_depth(self):
         rng = np.random.default_rng(3)
