@@ -85,6 +85,44 @@ class MCResult(NamedTuple):
         )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _masked_compact(vals: Array, mask: Array, excl_ids: Array, capacity: int):
+    """Stable stream compaction as pure gathers (both directions).
+
+    Forward: ``out[s] = vals[i_s]`` where ``i_s`` is the s-th index with
+    ``mask`` set (order preserving); zeros past the selected count.
+    TPU scatters lower to serial per-element loops, so the classic
+    scatter-at-scan-slot compaction is replaced by a vectorised binary search
+    (``searchsorted``) over the inclusive prefix sum. The VJP exploits the
+    bijection between selected inputs and output slots, so the backward pass
+    is ALSO a gather: ``dvals[i] = mask[i] * g[excl_ids[i]]``.
+    """
+    out, _ = _masked_compact_fwd(vals, mask, excl_ids, capacity)
+    return out
+
+
+def _masked_compact_fwd(vals, mask, excl_ids, capacity):
+    incl = excl_ids + mask
+    total = incl[-1]
+    q = jnp.arange(1, capacity + 1, dtype=incl.dtype)
+    src = jnp.searchsorted(incl, q)
+    src_c = jnp.clip(src, 0, vals.shape[0] - 1)
+    valid = q <= total
+    out = jnp.where(valid, vals[src_c], 0)
+    return out, (mask, excl_ids)
+
+
+def _masked_compact_bwd(capacity, res, g):
+    mask, excl_ids = res
+    slot = jnp.clip(excl_ids, 0, capacity - 1)
+    in_range = (excl_ids < capacity) & (mask > 0)
+    dvals = jnp.where(in_range, g[slot], 0)
+    return dvals, None, None
+
+
+_masked_compact.defvjp(_masked_compact_fwd, _masked_compact_bwd)
+
+
 def _crossing_masks(occ: Array) -> Tuple[Array, Array, Array]:
     """Edge sign-change masks along x/y/z (reference: marching_cubes.cu:29-45)."""
     cx = occ[:-1, :, :] != occ[1:, :, :]
@@ -199,20 +237,29 @@ def _mc_padded_impl(
         + jnp.sum(cz, dtype=jnp.int32)
     )
 
-    # --- vertices: scatter positions at their scan-assigned slots ------------
-    # One 1-D scatter per coordinate: (E,) -> (vert_capacity,). Row-vector
-    # scatters of (E, 3) pad the minor dim ~42x on TPU and lower to loops.
+    # --- vertices: gather-based compaction (no scatters anywhere) ------------
+    # Concatenate the three axis blocks in id order; _masked_compact pulls the
+    # selected positions to the front via searchsorted over the global scan.
     scale = (upper - lower) / jnp.asarray([X, Y, Z], jnp.float32)
-    vcols = [jnp.zeros((vert_capacity,), jnp.float32) for _ in range(3)]
-    for axis, (c, ids, dt) in enumerate(
-        ((cx, ids_x, dt_x), (cy, ids_y, dt_y), (cz, ids_z, dt_z))
-    ):
-        pos = _axis_positions(dt.shape, axis, dt)
-        slot = jnp.where(c.reshape(-1), ids, vert_capacity)  # OOB -> dropped
-        for j in range(3):
-            vcols[j] = vcols[j].at[slot].set(
-                pos[j] * scale[j] + lower[j], mode="drop", unique_indices=True
-            )
+    pos_axis = [
+        _axis_positions(dt_x.shape, 0, dt_x),
+        _axis_positions(dt_y.shape, 1, dt_y),
+        _axis_positions(dt_z.shape, 2, dt_z),
+    ]
+    mask_flat = jnp.concatenate(
+        [c.reshape(-1) for c in (cx, cy, cz)]
+    ).astype(jnp.int32)
+    ids_flat = jnp.concatenate([ids_x, ids_y, ids_z])
+    vcols = []
+    for j in range(3):
+        vals = jnp.concatenate([pos_axis[a][j] for a in range(3)])
+        col = _masked_compact(
+            vals * scale[j] + lower[j] * jnp.float32(1.0),
+            mask_flat,
+            ids_flat,
+            vert_capacity,
+        )
+        vcols.append(col)
     verts = jnp.stack(vcols, axis=-1)
 
     # --- faces ---------------------------------------------------------------
@@ -247,17 +294,25 @@ def _mc_padded_impl(
     ntris = _NUM_TRIS[mask]  # (C,)
     base = _excl_cumsum_flat(ntris)  # face slot base per cube
     num_faces = jnp.sum(ntris)
-    tri_edges = _TRI_TABLE_T[:, mask]  # (16, C)
 
-    fcols = [jnp.zeros((face_capacity,), jnp.int32) for _ in range(3)]
-    for k in range(MAX_TRIS_PER_CUBE):
-        slot = jnp.where(k < ntris, base + k, face_capacity)
-        for j in range(3):
-            ej = jnp.maximum(tri_edges[3 * k + j], 0)  # (C,) cube-edge id
-            vid = jnp.take_along_axis(edge_vids, ej[None, :], axis=0)[0]
-            fcols[j] = fcols[j].at[slot].set(
-                vid, mode="drop", unique_indices=True
-            )
+    # Gather-based face emission: face slot s lives in the cube whose
+    # cumulative-triangle range contains s (binary search), at local index
+    # k = s - base[cube]; its vertex ids are two chained gathers (table, then
+    # edge-id grid). Integer-only, no scatters.
+    incl = base + ntris
+    s_q = jnp.arange(1, face_capacity + 1, dtype=incl.dtype)
+    cube = jnp.clip(jnp.searchsorted(incl, s_q), 0, incl.shape[0] - 1)
+    k = (s_q - 1) - base[cube]  # 0..4 within the cube
+    valid_f = s_q <= num_faces
+    tri_rows = _TRI_TABLE_T[:, mask[cube]]  # (16, Fc)
+    evids_f = edge_vids[:, cube]  # (12, Fc)
+    fcols = []
+    for j in range(3):
+        ejk = jnp.take_along_axis(tri_rows, (3 * k + j)[None, :], axis=0)[0]
+        vid = jnp.take_along_axis(
+            evids_f, jnp.maximum(ejk, 0)[None, :], axis=0
+        )[0]
+        fcols.append(jnp.where(valid_f, vid, 0))
     faces = jnp.stack(fcols, axis=-1)
 
     return MCResult(verts, faces, num_vertices, num_faces)

@@ -123,15 +123,16 @@ class TestGradients:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
 
-        # jvp/vjp consistency: <grad, v> must equal the forward-mode
-        # directional derivative (exact, no FD noise).
-        v = jnp.asarray(
-            np.random.default_rng(1).standard_normal(grid.shape), jnp.float32
+        # directional-derivative check: <grad, v> vs central differences.
+        # (forward-mode jvp is unsupported: the compaction uses a custom_vjp
+        # whose backward is a pure gather — see ops/marching_cubes.py.)
+        v = np.random.default_rng(1).standard_normal(grid.shape)
+        v = jnp.asarray(v / np.abs(v).max(), jnp.float32)
+        eps = 0.05
+        fd = (float(loss(grid + eps * v)) - float(loss(grid - eps * v))) / (
+            2 * eps
         )
-        _, jvp_val = jax.jvp(loss, (grid,), (v,))
-        np.testing.assert_allclose(
-            float(jnp.vdot(g, v)), float(jvp_val), rtol=1e-4
-        )
+        np.testing.assert_allclose(float(jnp.vdot(g, v)), fd, rtol=0.05)
 
         # finite-difference spot check. eps must be large enough that the FD
         # quotient rises above float32 rounding of the O(1e4) loss (~4e-3 abs),
