@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .marching_cubes import _masked_compact
+
 Array = jax.Array
 
 # Local tet edges 0..5 connect corners EDGES[e] (reference :33-43).
@@ -144,21 +146,19 @@ def _mt_padded_impl(
     vslot = jnp.cumsum(inv) - inv  # (E,) valid at head positions
     num_vertices = jnp.sum(inv)
 
-    # propagate the head's vertex id (or -1) to every duplicate in its group
-    gid = jnp.cumsum(head.astype(jnp.int32)) - 1  # (E,)
+    # propagate the head's vertex id (or -1) to every duplicate in its group:
+    # an entry's group head is the first position sharing its inclusive head
+    # count — one binary search + gather (TPU scatters lower to serial loops,
+    # so scatter-based propagation is avoided throughout).
+    h_incl = jnp.cumsum(head.astype(jnp.int32))  # (E,) inclusive
+    head_pos = jnp.searchsorted(h_incl, h_incl)
     head_vid = jnp.where(is_new_vertex, vslot, -1)
-    group_vid = jnp.zeros((E,), jnp.int32).at[jnp.where(head, gid, E)].set(
-        head_vid, mode="drop", unique_indices=True
-    )
-    vid_sorted = group_vid[gid]
+    vid_sorted = head_vid[jnp.clip(head_pos, 0, E - 1)]
 
-    # back to original (tet, local-edge) layout
-    edge_vid = (
-        jnp.zeros((E,), jnp.int32)
-        .at[sidx]
-        .set(vid_sorted, mode="drop", unique_indices=True)
-        .reshape(T, 6)
-    )
+    # back to original (tet, local-edge) layout: invert the permutation with
+    # a second sort (parallel-friendly) instead of a scatter
+    _, edge_vid_flat = jax.lax.sort((sidx, vid_sorted), num_keys=1)
+    edge_vid = edge_vid_flat.reshape(T, 6)
 
     # --- vertex positions: sdf-weighted lerp on unique crossing edges --------
     a_idx = jnp.minimum(sa, N - 1)
@@ -171,10 +171,13 @@ def _mt_padded_impl(
     w_b = s_a / denom
     pos = vertices[a_idx] * w_a[:, None] + vertices[b_idx] * w_b[:, None]
 
-    verts = (
-        jnp.zeros((vert_capacity, 3), vertices.dtype)
-        .at[jnp.where(is_new_vertex, vslot, vert_capacity)]
-        .set(pos, mode="drop", unique_indices=True)
+    vmask = is_new_vertex.astype(jnp.int32)
+    verts = jnp.stack(
+        [
+            _masked_compact(pos[:, j], vmask, vslot, vert_capacity)
+            for j in range(3)
+        ],
+        axis=-1,
     )
 
     # --- faces ---------------------------------------------------------------
@@ -184,19 +187,25 @@ def _mt_padded_impl(
     ntris = jnp.where(valid_tet, _NUM_TRIS[table_idx], 0)
     base = jnp.cumsum(ntris) - ntris
     num_faces = jnp.sum(ntris)
-    tri_edges = _TRI_TABLE[table_idx]  # (T, 6)
 
-    faces = jnp.zeros((face_capacity, 3), jnp.int32)
-    tet_of_face = jnp.full((face_capacity,), -1, jnp.int32)
-    tids = jnp.arange(T, dtype=jnp.int32)
-    for k in range(2):
-        ek = tri_edges[:, 3 * k : 3 * k + 3]  # (T, 3)
-        vids = jnp.take_along_axis(edge_vid, jnp.maximum(ek, 0), axis=-1)
-        slot = jnp.where(k < ntris, base + k, face_capacity)
-        faces = faces.at[slot].set(vids, mode="drop", unique_indices=True)
-        tet_of_face = tet_of_face.at[slot].set(
-            tids, mode="drop", unique_indices=True
-        )
+    # gather-based face emission (same pattern as marching cubes): face slot s
+    # -> owning tet by binary search over the triangle-count scan
+    incl = base + ntris
+    s_q = jnp.arange(1, face_capacity + 1, dtype=incl.dtype)
+    tet_g = jnp.clip(jnp.searchsorted(incl, s_q), 0, T - 1)
+    k = (s_q - 1) - base[tet_g]  # 0 or 1
+    valid_f = s_q <= num_faces
+    tri_rows = _TRI_TABLE[table_idx[tet_g]]  # (Fc, 6)
+    ev_rows = edge_vid[tet_g]  # (Fc, 6)
+    fcols = []
+    for j in range(3):
+        ejk = jnp.take_along_axis(tri_rows, (3 * k + j)[:, None], axis=1)[:, 0]
+        vid = jnp.take_along_axis(
+            ev_rows, jnp.maximum(ejk, 0)[:, None], axis=1
+        )[:, 0]
+        fcols.append(jnp.where(valid_f, vid, 0))
+    faces = jnp.stack(fcols, axis=-1)
+    tet_of_face = jnp.where(valid_f, tet_g, -1)
 
     return MTResult(verts, faces, tet_of_face, num_vertices, num_faces)
 
