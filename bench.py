@@ -1,13 +1,21 @@
 """Benchmark harness: one JSON line on stdout, detail on stderr.
 
 Primary metric: bunny ray casting throughput (BASELINE.md config 4 —
-512x512 rays -> depth/normal/id buffers), vs the 100M rays/s/chip north-star
-target. Secondary metrics (stderr): marching-cubes voxel throughput at 66^3
-(bunny) and 256^3 (analytic sphere), and marching-tetrahedra throughput.
+512x512 rays -> depth/normal/id buffers) via the Pallas cluster kernel, vs
+the 100M rays/s/chip north-star target. Secondary metrics (stderr): marching
+cubes at 66^3/128^3/256^3 and marching tetrahedra.
 
-Runs on whatever device jax selects (the real TPU under the driver).
+Methodology notes (this environment):
+  * Only a host fetch truly synchronizes through the TPU tunnel, and each
+    sync round-trip costs ~25-30 ms — so every timing amortizes K dependent
+    iterations inside one jit and fetches a scalar.
+  * A watchdog alarm guarantees the one-line JSON is emitted even if a later
+    section hangs (the tunnel's remote worker can wedge); sections run
+    primary-first so the headline number is captured early.
 """
 import json
+import os
+import signal
 import sys
 import time
 
@@ -19,139 +27,133 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+RESULT = {"metric": "bench_incomplete", "value": 0, "unit": "rays/s", "vs_baseline": 0.0}
+_printed = False
+
+
+def emit_and_exit(code=0):
+    global _printed
+    if not _printed:
+        print(json.dumps(RESULT), flush=True)
+        _printed = True
+    os._exit(code)
+
+
+def on_alarm(signum, frame):
+    log("WATCHDOG: bench timed out; emitting last good metric")
+    emit_and_exit(0)
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, iters=5, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+def amortized(fn_scalar, K=10):
+    """Median-free amortized seconds/iter: K dependent iterations, one fetch."""
+
+    @jax.jit
+    def looped(z):
+        def body(i, acc):
+            return acc + fn_scalar(acc * 1e-30 + z)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    float(looped(jnp.float32(0)))  # compile + warm
+    t0 = time.perf_counter()
+    float(looped(jnp.float32(0)))
+    return (time.perf_counter() - t0) / K
 
 
 def main():
-    import primitive3d_tpu as p3d
-    from primitive3d_tpu.raycast import create_raycaster
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "3300")))
+
+    import primitive3d_tpu as p3d  # noqa: F401
+    from primitive3d_tpu.bvh.clusters import build_clusters
+    from primitive3d_tpu.kernels.raycast_kernel import cast_clusters
+    from primitive3d_tpu.render.camera import camera_rays
 
     log(f"device: {jax.devices()[0]}")
 
-    # --- marching cubes: bunny 66^3 -----------------------------------------
-    grid = np.load("/root/reference/examples/data/bunny.npy")
-    v, f = p3d.marching_cubes(grid, 0.0)
-    g66 = jnp.asarray(grid)
-    nvox66 = grid.size
+    # --- PRIMARY: bunny 512x512 ray cast (mesh from the golden fixture) -----
+    golden = np.load("tests/goldens/bunny_mc.npz")
+    vb = (golden["v"] / 66.0).astype(np.float32)
+    fb = golden["f"].astype(np.int32)
+    tris = jnp.asarray(vb[fb])
+    cb = jax.block_until_ready(build_clusters(tris))
+    log(f"cluster bvh: {cb.num_clusters} clusters over {fb.shape[0]} tris")
 
-    def mc66(g):
-        return p3d.marching_cubes_padded(
-            g, 0.0, vert_capacity=16384, face_capacity=32768
-        )
-
-    sec = time_fn(mc66, g66)
-    log(f"MC 66^3 bunny: {sec*1e3:.2f} ms = {nvox66/sec/1e6:.1f} Mvox/s")
-
-    # --- marching cubes: 256^3 sphere ---------------------------------------
-    n = 256
-    x, y, z = np.mgrid[:n, :n, :n].astype(np.float32)
-    sph = -((x - n / 2) ** 2 + (y - n / 2) ** 2 + (z - n / 2) ** 2 - (n / 4) ** 2)
-    g256 = jnp.asarray(sph)
-
-    def mc256(g):
-        return p3d.marching_cubes_padded(
-            g, 0.0, vert_capacity=1 << 20, face_capacity=1 << 21
-        )
-
-    try:
-        sec256 = time_fn(mc256, g256, iters=3, warmup=1)
-        log(f"MC 256^3 sphere: {sec256*1e3:.2f} ms = {n**3/sec256/1e6:.1f} Mvox/s")
-    except Exception as e:  # noqa: BLE001
-        log(f"MC 256^3 failed: {e}")
-
-    # --- marching tetrahedra -------------------------------------------------
-    D = "/root/reference/examples/data/tetrahedra"
-    pts, sdfs, tets = (
-        np.load(f"{D}/points.npy"),
-        np.load(f"{D}/sdfs.npy"),
-        np.load(f"{D}/tetrahedras.npy"),
-    )
-
-    def mt(p, t, s):
-        return p3d.marching_tetrahedra_padded(
-            p, t, s, vert_capacity=8192, face_capacity=16384
-        )
-
-    jp, jt, js = jnp.asarray(pts), jnp.asarray(tets, jnp.int32), jnp.asarray(sdfs)
-    sec = time_fn(mt, jp, jt, js)
-    log(f"MT 12045 tets: {sec*1e3:.2f} ms = {tets.shape[0]/sec/1e6:.2f} Mtet/s")
-
-    # --- ray casting: bunny 512x512 (primary metric) ------------------------
-    # Tile-blocked camera rays (coherent 1024-ray kernel blocks) + amortized
-    # loop-in-jit timing: on this backend only a host fetch truly
-    # synchronizes, and each sync round-trip costs ~25-30 ms.
-    from primitive3d_tpu.render.camera import camera_rays
-    from primitive3d_tpu.bvh.clusters import build_clusters
-    from primitive3d_tpu.kernels.raycast_kernel import cast_clusters
-
-    vb = np.asarray(v) / 66.0
-    fb = np.asarray(f)
     H = W = 512
     cam = camera_rays(H, W, origin=(0.5, 0.5, -1.5), look_at=(0.5, 0.5, 0.5),
                       fov_y=35.0)
     oj = jnp.asarray(cam.origins)
     dj = jnp.asarray(cam.dirs)
 
-    def amortized(fn, *args, K=10):
-        @jax.jit
-        def looped(*args):
-            def body(i, acc):
-                out = fn(args[0] + acc * 1e-30, *args[1:])
-                return acc + out
-            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
-        float(looped(*args))  # compile + warm
-        t0 = time.perf_counter()
-        float(looped(*args))
-        return (time.perf_counter() - t0) / K
-
-    best = None
-    tris = jnp.asarray(vb[fb])
-    cb = jax.block_until_ready(build_clusters(tris))
-    hit_frac = float(
-        (np.asarray(cast_clusters(cb, oj, dj)[1]) >= 0).mean()
-    )
+    depth, idx = cast_clusters(cb, oj, dj)
+    hit_frac = float((np.asarray(idx) >= 0).mean())
     log(f"pallas hit fraction: {hit_frac:.3f}")
-    sec = amortized(lambda o, d: cast_clusters(cb, o, d)[0][0], oj, dj)
+    assert 0.05 < hit_frac < 0.95, "camera setup wrong"
+
+    sec = amortized(lambda z: cast_clusters(cb, oj + z, dj)[0][0])
     rps = H * W / sec
     log(f"raycast[pallas] bunny {H}x{W}: {sec*1e3:.2f} ms = {rps/1e6:.2f} Mrays/s")
-    best = ("pallas", rps)
-
-    try:
-        rc = create_raycaster(vb, fb, backend="mxu")
-        sec = amortized(lambda o, d: rc.cast(o, d).depth[0], oj, dj, K=3)
-        rps = H * W / sec
-        log(f"raycast[mxu] bunny {H}x{W}: {sec*1e3:.2f} ms = {rps/1e6:.2f} Mrays/s")
-        if rps > best[1]:
-            best = ("mxu", rps)
-    except Exception as e:  # noqa: BLE001
-        log(f"raycast[mxu] failed: {e}")
-
-    backend, rays_per_s = best
-    log(f"primary: {backend} {rays_per_s/1e6:.2f} Mrays/s")
-    print(
-        json.dumps(
-            {
-                "metric": f"bunny_512x512_rays_per_s[{backend}]",
-                "value": round(rays_per_s),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / 1e8, 4),
-            }
-        )
+    RESULT.update(
+        metric="bunny_512x512_rays_per_s[pallas]",
+        value=round(rps),
+        unit="rays/s",
+        vs_baseline=round(rps / 1e8, 4),
     )
+
+    # --- secondary: marching cubes ------------------------------------------
+    try:
+        grid = jnp.asarray(np.load("/root/reference/examples/data/bunny.npy"))
+
+        def mc66(z):
+            r = p3d.marching_cubes_padded(
+                grid + z, 0.0, vert_capacity=16384, face_capacity=32768
+            )
+            return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
+
+        sec = amortized(mc66, K=5)
+        log(f"MC 66^3 bunny: {sec*1e3:.2f} ms = {grid.size/sec/1e6:.1f} Mvox/s")
+
+        for n in (128, 256):
+            x, y, z_ = np.mgrid[:n, :n, :n].astype(np.float32)
+            sph = jnp.asarray(
+                -((x - n / 2) ** 2 + (y - n / 2) ** 2 + (z_ - n / 2) ** 2
+                  - (n / 4) ** 2)
+            )
+            vc, fc = (1 << 18, 1 << 19) if n == 128 else (1 << 20, 1 << 21)
+
+            def mcn(zz, sph=sph, vc=vc, fc=fc):
+                r = p3d.marching_cubes_padded(
+                    sph + zz, 0.0, vert_capacity=vc, face_capacity=fc
+                )
+                return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
+
+            sec = amortized(mcn, K=3)
+            log(f"MC {n}^3 sphere: {sec*1e3:.2f} ms = {n**3/sec/1e6:.1f} Mvox/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"MC section failed: {e}")
+
+    # --- secondary: marching tetrahedra -------------------------------------
+    try:
+        D = "/root/reference/examples/data/tetrahedra"
+        pts = jnp.asarray(np.load(f"{D}/points.npy"))
+        sdfs = jnp.asarray(np.load(f"{D}/sdfs.npy"))
+        tets = jnp.asarray(np.load(f"{D}/tetrahedras.npy"), jnp.int32)
+
+        def mt(z):
+            r = p3d.marching_tetrahedra_padded(
+                pts + z, tets, sdfs, vert_capacity=8192, face_capacity=16384
+            )
+            return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
+
+        sec = amortized(mt, K=10)
+        log(f"MT 12045 tets: {sec*1e3:.2f} ms = {tets.shape[0]/sec/1e6:.2f} Mtet/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"MT section failed: {e}")
+
+    emit_and_exit(0)
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import mc_tables as T
-from ..ops.marching_cubes import _excl_cumsum_flat
+from ..ops.marching_cubes import _excl_cumsum_flat, _masked_compact
 
 Array = jax.Array
 
@@ -145,41 +145,47 @@ def sharded_marching_cubes(
         vcount = jnp.where((s + 1) * Xs > X - 1, total_v - vbase, vcount)
 
         gx0 = (s * Xs).astype(jnp.float32)
-        vcols = [jnp.zeros((vert_cap_per_shard,), jnp.float32) for _ in range(3)]
 
         def interp(d0, d1):
             den = d1 - d0
             den = jnp.where(den == 0, 1.0, den)
             return jnp.clip((thresh - d0) / den, 0.0, 1.0)
 
-        def emit(axis, c, ids, dt, shape):
-            rows, a, b = shape
+        def positions(axis, dt, shape):
             fx = jax.lax.broadcasted_iota(jnp.float32, shape, 0) + gx0
             fy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
             fz = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
             coords = [fx, fy, fz]
             coords[axis] = coords[axis] + dt
-            slot = jnp.where(
-                c, ids - vbase, vert_cap_per_shard
+            return coords
+
+        # Owned vertices in local-id order: per row, the y-block then z-block
+        # then x-block (matching the global numbering). Concatenate along the
+        # within-row axis, flatten, and gather-compact (no scatters; see
+        # ops/marching_cubes._masked_compact).
+        py = positions(1, interp(g[:Xs, :-1, :], g[:Xs, 1:, :]), (Xs, Y - 1, Z))
+        pz = positions(2, interp(g[:Xs, :, :-1], g[:Xs, :, 1:]), (Xs, Y, Z - 1))
+        px = positions(0, interp(g[:-1], g[1:]), (Xs, Y, Z))
+
+        def rowcat(ay, az, ax):
+            return jnp.concatenate(
+                [
+                    ay.reshape(Xs, -1),
+                    az.reshape(Xs, -1),
+                    ax.reshape(Xs, -1),
+                ],
+                axis=1,
             ).reshape(-1)
-            slot = jnp.where(
-                (slot >= 0) & (slot < vert_cap_per_shard),
-                slot,
+
+        mask_flat = rowcat(cy[:Xs], cz[:Xs], cx).astype(jnp.int32)
+        local_ids = jnp.cumsum(mask_flat) - mask_flat
+        vcols = [
+            _masked_compact(
+                rowcat(py[j], pz[j], px[j]), mask_flat, local_ids,
                 vert_cap_per_shard,
             )
-            out = []
-            for j in range(3):
-                out.append(
-                    vcols[j]
-                    .at[slot]
-                    .set(coords[j].reshape(-1), mode="drop", unique_indices=True)
-                )
-            return out
-
-        # owned y/z rows only (halo row's y/z vertices belong to the next shard)
-        vcols = emit(1, cy[:Xs], idy[:Xs], interp(g[:Xs, :-1, :], g[:Xs, 1:, :]), (Xs, Y - 1, Z))
-        vcols = emit(2, cz[:Xs], idz[:Xs], interp(g[:Xs, :, :-1], g[:Xs, :, 1:]), (Xs, Y, Z - 1))
-        vcols = emit(0, cx, idx, interp(g[:-1], g[1:]), (Xs, Y, Z))
+            for j in range(3)
+        ]
         verts = jnp.stack(vcols, axis=-1)
 
         # --- faces -----------------------------------------------------------
@@ -213,15 +219,6 @@ def sharded_marching_cubes(
             fnext >= X, total_f - fbase, frow_off[jnp.minimum(fnext, X - 1)] - fbase
         )
 
-        # face slot base per cube: row offset + within-row exclusive scan
-        base = (
-            frow_off[grow_c[:Xs]][:, None]
-            + jnp.cumsum(ntris, axis=1)
-            - ntris
-        ).reshape(-1)
-        ntris_f = ntris.reshape(-1)
-        tri_edges = _TRI_TABLE_T[:, mask.reshape(-1)]  # (16, C)
-
         # the 12 cube-edge vertex ids (same layout as single-chip, global ids)
         e = [
             idx[:, :-1, :-1], idy[1:, :, :-1], idx[:, 1:, :-1], idy[:-1, :, :-1],
@@ -230,20 +227,27 @@ def sharded_marching_cubes(
         ]
         edge_vids = jnp.stack([a.reshape(-1) for a in e], axis=0)  # (12, C)
 
-        fcols = [jnp.zeros((face_cap_per_shard,), jnp.int32) for _ in range(3)]
-        for k in range(T.MAX_TRIS_PER_CUBE):
-            slot = jnp.where(k < ntris_f, base + k - fbase, face_cap_per_shard)
-            slot = jnp.where(
-                (slot >= 0) & (slot < face_cap_per_shard),
-                slot,
-                face_cap_per_shard,
-            )
-            for j in range(3):
-                ej = jnp.maximum(tri_edges[3 * k + j], 0)
-                vid = jnp.take_along_axis(edge_vids, ej[None, :], axis=0)[0]
-                fcols[j] = fcols[j].at[slot].set(
-                    vid, mode="drop", unique_indices=True
-                )
+        # gather-based face emission over the shard's local slot range
+        ntris_f = ntris.reshape(-1)
+        base_local = jnp.cumsum(ntris_f) - ntris_f
+        incl_local = base_local + ntris_f
+        s_q = jnp.arange(1, face_cap_per_shard + 1, dtype=incl_local.dtype)
+        cube = jnp.clip(
+            jnp.searchsorted(incl_local, s_q), 0, incl_local.shape[0] - 1
+        )
+        kk = (s_q - 1) - base_local[cube]
+        valid_f = s_q <= fcount
+        tri_rows = _TRI_TABLE_T[:, mask.reshape(-1)[cube]]  # (16, Fc)
+        evids_f = edge_vids[:, cube]  # (12, Fc)
+        fcols = []
+        for j in range(3):
+            ejk = jnp.take_along_axis(
+                tri_rows, (3 * kk + j)[None, :], axis=0
+            )[0]
+            vid = jnp.take_along_axis(
+                evids_f, jnp.maximum(ejk, 0)[None, :], axis=0
+            )[0]
+            fcols.append(jnp.where(valid_f, vid, 0))
         faces = jnp.stack(fcols, axis=-1)
 
         return (
