@@ -7,9 +7,11 @@ compaction instead of CUDA atomics, jax.sharding for multi-chip scale-out.
 
 Public API mirrors the reference's surface (reference: prim3d/__init__.py:2-16).
 """
+from .core.config import Config, MarchingCubesConfig, RayCastConfig
 from .core.timer import Timer, TimerError, time_fn
 from .core.grid import scale_to_bound
 from .io.ply import load_mesh, save_mesh
+from .raycast import RayHits, available_backends, create_raycaster
 from .ops.marching_cubes import (
     MCResult,
     marching_cubes,
@@ -29,6 +31,12 @@ marching_tetrahedras = marching_tetrahedra
 
 __all__ = [
     "__version__",
+    "Config",
+    "RayCastConfig",
+    "MarchingCubesConfig",
+    "RayHits",
+    "available_backends",
+    "create_raycaster",
     "Timer",
     "TimerError",
     "time_fn",

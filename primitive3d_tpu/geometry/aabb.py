@@ -42,6 +42,38 @@ def diag(box: Array) -> Array:
     return box[..., 1, :] - box[..., 0, :]
 
 
+def inflate(box: Array, amount) -> Array:
+    """Grow the box by ``amount`` on every side (reference: bounding_box.h:71-74)."""
+    return jnp.stack(
+        [box[..., 0, :] - amount, box[..., 1, :] + amount], axis=-2
+    )
+
+
+def intersection(a: Array, b: Array) -> Array:
+    """Box-box intersection; may be empty (reference: bounding_box.h:88-93)."""
+    return jnp.stack(
+        [
+            jnp.maximum(a[..., 0, :], b[..., 0, :]),
+            jnp.minimum(a[..., 1, :], b[..., 1, :]),
+        ],
+        axis=-2,
+    )
+
+
+def is_empty(box: Array) -> Array:
+    return jnp.any(box[..., 1, :] < box[..., 0, :], axis=-1)
+
+
+def intersects(a: Array, b: Array) -> Array:
+    """Box-box overlap test (reference: bounding_box.h:95-97)."""
+    return ~is_empty(intersection(a, b))
+
+
+def relative_pos(box: Array, p: Array) -> Array:
+    """(p - min) / diag (reference: bounding_box.h:80-82)."""
+    return (p - box[..., 0, :]) / diag(box)
+
+
 def center(box: Array) -> Array:
     return (box[..., 0, :] + box[..., 1, :]) * 0.5
 

@@ -190,6 +190,12 @@ class BruteForceRayCaster(RayCaster):
         )
 
 
+def available_backends() -> tuple:
+    """Runtime-selectable backends (the analog of the reference's
+    compile-time ``prim3d.ENABLE_OPTIX`` flag, prim3d/__init__.py:9)."""
+    return ("pallas", "mxu", "bvh", "bruteforce")
+
+
 def create_raycaster(
     vertices,
     faces,
