@@ -42,6 +42,131 @@ MISS = jnp.float32(3.0e38)
 GROUP = 32  # clusters per cull/process phase pair
 
 
+def _kernel_ordered(boxes_ref, tri_ref, order_ref, bound_ref, ox_ref, oy_ref,
+                    oz_ref, dx_ref, dy_ref, dz_ref, depth_ref, idx_ref,
+                    flags_ref, cidx_ref, *, num_clusters, cluster_size,
+                    max_dist):
+    """Front-to-back variant: clusters visited in a per-block precomputed
+    order with a conservative lower bound per group; once every ray's best
+    hit is closer than the next group's bound, traversal stops (the analog
+    of the reference's sorted-children early-out, bvh.cu:183-187, done at
+    block granularity)."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    inv_x = 1.0 / dx
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
+
+    best0 = jnp.full((8, 128), max_dist, jnp.float32)
+    idx0 = jnp.full((8, 128), -1, jnp.int32)
+    num_groups = (num_clusters + GROUP - 1) // GROUP
+
+    def group_body(carry):
+        g, best, bidx = carry
+
+        def cull_body(j, _):
+            e = jnp.minimum(g * GROUP + j, num_clusters - 1)
+            c = order_ref[0, e]
+            cidx_ref[j] = c
+            lx = boxes_ref[c, 0]
+            ly = boxes_ref[c, 1]
+            lz = boxes_ref[c, 2]
+            hx = boxes_ref[c, 3]
+            hy = boxes_ref[c, 4]
+            hz = boxes_ref[c, 5]
+            tx0 = (lx - ox) * inv_x
+            tx1 = (hx - ox) * inv_x
+            ty0 = (ly - oy) * inv_y
+            ty1 = (hy - oy) * inv_y
+            tz0 = (lz - oz) * inv_z
+            tz1 = (hz - oz) * inv_z
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            useful = (tmin <= tmax) & (tmax >= 0.0) & (tmin < best)
+            in_range = (g * GROUP + j) < num_clusters
+            flags_ref[j] = (
+                jnp.any(useful).astype(jnp.int32) * in_range.astype(jnp.int32)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, cull_body, 0)
+
+        def proc_body(j, carry):
+            best, bidx = carry
+            c = cidx_ref[j]
+
+            def with_cluster(carry):
+                best, bidx = carry
+
+                def tri_body(m, carry2):
+                    best, bidx = carry2
+                    ax = tri_ref[c, m, 0]
+                    ay = tri_ref[c, m, 1]
+                    az = tri_ref[c, m, 2]
+                    e1x = tri_ref[c, m, 3]
+                    e1y = tri_ref[c, m, 4]
+                    e1z = tri_ref[c, m, 5]
+                    e2x = tri_ref[c, m, 6]
+                    e2y = tri_ref[c, m, 7]
+                    e2z = tri_ref[c, m, 8]
+                    hx_ = dy * e2z - dz * e2y
+                    hy_ = dz * e2x - dx * e2z
+                    hz_ = dx * e2y - dy * e2x
+                    det = e1x * hx_ + e1y * hy_ + e1z * hz_
+                    f = 1.0 / jnp.where(det == 0.0, 1e-30, det)
+                    sx = ox - ax
+                    sy = oy - ay
+                    sz = oz - az
+                    u = f * (sx * hx_ + sy * hy_ + sz * hz_)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = f * (dx * qx + dy * qy + dz * qz)
+                    t = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (det != 0.0)
+                        & (u >= 0.0)
+                        & (u <= 1.0)
+                        & (v >= 0.0)
+                        & ((u + v) <= 1.0)
+                        & (t >= 0.0)
+                        & (t < best)
+                    )
+                    best = jnp.where(ok, t, best)
+                    bidx = jnp.where(ok, c * cluster_size + m, bidx)
+                    return best, bidx
+
+                return jax.lax.fori_loop(
+                    0, cluster_size, tri_body, (best, bidx)
+                )
+
+            return jax.lax.cond(
+                flags_ref[j] != 0, with_cluster, lambda cr: cr, (best, bidx)
+            )
+
+        best, bidx = jax.lax.fori_loop(0, GROUP, proc_body, (best, bidx))
+        return g + 1, best, bidx
+
+    def group_cond(carry):
+        g, best, bidx = carry
+        # converged when every ray's best hit is closer than the next
+        # group's conservative entry lower bound
+        nb = bound_ref[0, jnp.minimum(g, bound_ref.shape[1] - 1)]
+        return (g < num_groups) & jnp.logical_not(jnp.all(best <= nb))
+
+    _, best, bidx = jax.lax.while_loop(
+        group_cond, group_body, (jnp.int32(0), best0, idx0)
+    )
+    depth_ref[:] = best
+    idx_ref[:] = bidx
+
+
 def _kernel(boxes_ref, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             dz_ref, depth_ref, idx_ref, flags_ref, *, num_clusters,
             cluster_size, max_dist):
@@ -157,18 +282,53 @@ def _kernel(boxes_ref, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
     idx_ref[:] = bidx
 
 
-@functools.partial(jax.jit, static_argnames=("max_dist", "interpret"))
+def _order_and_bounds(bvh: ClusterBVH, o: Array, B: int):
+    """Per-ray-block front-to-back cluster order + safe entry lower bounds.
+
+    The bound is conservative for ANY ray in the block: a unit-direction ray
+    travels at least point-box-distance(origin, box) before entering, minus
+    the block's origin spread. Groups inherit the bound of their first
+    (nearest) cluster since the order is ascending.
+    """
+    ob = o.reshape(B, RAY_BLOCK, 3)
+    mo = jnp.mean(ob, axis=1)  # (B, 3)
+    spread = jnp.max(jnp.linalg.norm(ob - mo[:, None], axis=-1), axis=1)
+    lo = bvh.boxes[:, :3]
+    hi = bvh.boxes[:, 3:]
+    d = jnp.maximum(
+        jnp.maximum(lo[None] - mo[:, None], mo[:, None] - hi[None]), 0.0
+    )
+    dist = jnp.linalg.norm(d, axis=-1)  # (B, C)
+    bound = jnp.maximum(dist - spread[:, None], 0.0)
+    order = jnp.argsort(bound, axis=1).astype(jnp.int32)
+    sb = jnp.take_along_axis(bound, order, axis=1)
+    C = bvh.num_clusters
+    G = (C + GROUP - 1) // GROUP
+    padg = G * GROUP - C
+    sb = jnp.concatenate(
+        [sb, jnp.full((B, padg), jnp.inf, jnp.float32)], axis=1
+    )
+    group_bound = sb[:, ::GROUP]  # (B, G): bound of each group's nearest
+    return order, group_bound
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_dist", "interpret", "ordered")
+)
 def cast_clusters(
     bvh: ClusterBVH,
     origins: Array,
     dirs: Array,
     max_dist: float = 10.0,
     interpret: bool = False,
+    ordered: bool = True,
 ) -> Tuple[Array, Array]:
     """Closest hit for rays (R, 3): returns (t, sorted-triangle index).
 
     R is padded to a multiple of RAY_BLOCK internally; indices refer to the
     Morton-sorted order (map through ``bvh.prim_order`` for original ids).
+    ``ordered=True`` adds per-block front-to-back cluster ordering with a
+    convergence early-exit (helps coherent ray blocks; always exact).
     """
     R = origins.shape[0]
     pad = (-R) % RAY_BLOCK
@@ -181,30 +341,55 @@ def cast_clusters(
     comps = [c.reshape(rows, 128) for c in comps]
 
     C = bvh.num_clusters
-    grid = (rows // 8,)
+    B = rows // 8
+    grid = (B,)
     ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    depth, idx = pl.pallas_call(
-        functools.partial(
-            _kernel,
-            num_clusters=C,
-            cluster_size=bvh.tri_data.shape[1],
-            max_dist=float(max_dist),
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes (C, 6)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_data (C, 128, 9)
-            *[ray_spec] * 6,
-        ],
-        out_specs=[
-            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.SMEM((GROUP,), jnp.int32)],
-        interpret=interpret,
-    )(bvh.boxes, bvh.tri_data, *comps)
+    out_specs = [
+        pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+    ]
+    kw = dict(
+        num_clusters=C,
+        cluster_size=bvh.tri_data.shape[1],
+        max_dist=float(max_dist),
+    )
+    if ordered:
+        order, gbound = _order_and_bounds(bvh, o, B)
+        G = gbound.shape[1]
+        depth, idx = pl.pallas_call(
+            functools.partial(_kernel_ordered, **kw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_data
+                pl.BlockSpec((1, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                *[ray_spec] * 6,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.SMEM((GROUP,), jnp.int32),
+                pltpu.SMEM((GROUP,), jnp.int32),
+            ],
+            interpret=interpret,
+        )(bvh.boxes, bvh.tri_data, order, gbound, *comps)
+    else:
+        depth, idx = pl.pallas_call(
+            functools.partial(_kernel, **kw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                *[ray_spec] * 6,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.SMEM((GROUP,), jnp.int32)],
+            interpret=interpret,
+        )(bvh.boxes, bvh.tri_data, *comps)
     return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]

@@ -250,3 +250,22 @@ class TestLbvhStructure:
 
         # prim_order is a permutation
         assert sorted(np.asarray(bvh.prim_order)) == list(range(n))
+
+
+class TestPallasOrderedVariant:
+    def test_ordered_equals_unordered(self):
+        from primitive3d_tpu.bvh.clusters import build_clusters
+        from primitive3d_tpu.kernels.raycast_kernel import cast_clusters
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(21)
+        v, f = icosphere(2)
+        tris = jnp.asarray(np.asarray(v, np.float32)[np.asarray(f)])
+        cb = build_clusters(tris)
+        o, d = rays_at_sphere(1500, rng)  # > 1 ray block
+        t0, i0 = cast_clusters(cb, jnp.asarray(o), jnp.asarray(d),
+                               interpret=True, ordered=False)
+        t1, i1 = cast_clusters(cb, jnp.asarray(o), jnp.asarray(d),
+                               interpret=True, ordered=True)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
