@@ -199,3 +199,31 @@ class TestGradients:
         np.testing.assert_allclose(
             np.asarray(gp), t_pts.grad.numpy(), atol=2e-3
         )
+
+
+class TestVmap:
+    def test_batched_via_vmap(self):
+        """The padded op is vmap-able (the reference only documents batching,
+        its code path is unbatched — marching_tetrahedras.py:103-108)."""
+        points = np.load(f"{DATA}/points.npy")
+        sdfs = np.load(f"{DATA}/sdfs.npy")
+        tets = jnp.asarray(np.load(f"{DATA}/tetrahedras.npy"), jnp.int32)
+
+        batch_p = jnp.stack([jnp.asarray(points), jnp.asarray(points) * 1.1])
+        batch_s = jnp.stack([jnp.asarray(sdfs), jnp.asarray(sdfs)])
+
+        fn = jax.vmap(
+            lambda p, s: marching_tetrahedra_padded(
+                p, tets, s, vert_capacity=8192, face_capacity=16384
+            )
+        )
+        res = fn(batch_p, batch_s)
+        assert res.vertices.shape == (2, 8192, 3)
+        v0, f0 = marching_tetrahedra(points, tets, sdfs)
+        nv = int(res.num_vertices[0])
+        np.testing.assert_allclose(
+            np.asarray(res.vertices[0][:nv]), np.asarray(v0), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.vertices[1][:nv]), np.asarray(v0) * 1.1, atol=1e-4
+        )
