@@ -66,7 +66,7 @@ def _kernel_ordered(boxes_ref, tri_ref, order_ref, bound_ref, ox_ref, oy_ref,
 
         def cull_body(j, _):
             e = jnp.minimum(g * GROUP + j, num_clusters - 1)
-            c = order_ref[0, e]
+            c = order_ref[0, 0, e]
             cidx_ref[j] = c
             lx = boxes_ref[c, 0]
             ly = boxes_ref[c, 1]
@@ -157,7 +157,7 @@ def _kernel_ordered(boxes_ref, tri_ref, order_ref, bound_ref, ox_ref, oy_ref,
         g, best, bidx = carry
         # converged when every ray's best hit is closer than the next
         # group's conservative entry lower bound
-        nb = bound_ref[0, jnp.minimum(g, bound_ref.shape[1] - 1)]
+        nb = bound_ref[0, 0, jnp.minimum(g, bound_ref.shape[2] - 1)]
         return (g < num_groups) & jnp.logical_not(jnp.all(best <= nb))
 
     _, best, bidx = jax.lax.while_loop(
@@ -360,14 +360,19 @@ def cast_clusters(
     if ordered:
         order, gbound = _order_and_bounds(bvh, o, B)
         G = gbound.shape[1]
+        # (B, 1, X) layout: Mosaic requires the last two block dims divisible
+        # by (8, 128) or equal to the array dims; (1, X) blocks of a (B, X)
+        # array violate the sublane rule, (1, 1, X) of (B, 1, X) do not.
+        order = order[:, None, :]
+        gbound = gbound[:, None, :]
         depth, idx = pl.pallas_call(
             functools.partial(_kernel_ordered, **kw),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_data
-                pl.BlockSpec((1, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, G), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 *[ray_spec] * 6,
             ],
             out_specs=out_specs,

@@ -151,7 +151,7 @@ def _mt_padded_impl(
     # count — one binary search + gather (TPU scatters lower to serial loops,
     # so scatter-based propagation is avoided throughout).
     h_incl = jnp.cumsum(head.astype(jnp.int32))  # (E,) inclusive
-    head_pos = jnp.searchsorted(h_incl, h_incl)
+    head_pos = jnp.searchsorted(h_incl, h_incl, method="sort")
     head_vid = jnp.where(is_new_vertex, vslot, -1)
     vid_sorted = head_vid[jnp.clip(head_pos, 0, E - 1)]
 
@@ -192,7 +192,7 @@ def _mt_padded_impl(
     # -> owning tet by binary search over the triangle-count scan
     incl = base + ntris
     s_q = jnp.arange(1, face_capacity + 1, dtype=incl.dtype)
-    tet_g = jnp.clip(jnp.searchsorted(incl, s_q), 0, T - 1)
+    tet_g = jnp.clip(jnp.searchsorted(incl, s_q, method="sort"), 0, T - 1)
     k = (s_q - 1) - base[tet_g]  # 0 or 1
     valid_f = s_q <= num_faces
     tri_rows = _TRI_TABLE[table_idx[tet_g]]  # (Fc, 6)

@@ -233,7 +233,7 @@ def sharded_marching_cubes(
         incl_local = base_local + ntris_f
         s_q = jnp.arange(1, face_cap_per_shard + 1, dtype=incl_local.dtype)
         cube = jnp.clip(
-            jnp.searchsorted(incl_local, s_q), 0, incl_local.shape[0] - 1
+            jnp.searchsorted(incl_local, s_q, method="sort"), 0, incl_local.shape[0] - 1
         )
         kk = (s_q - 1) - base_local[cube]
         valid_f = s_q <= fcount
