@@ -42,7 +42,7 @@ MISS = jnp.float32(3.0e38)
 GROUP = 32  # clusters per cull/process phase pair
 
 
-def _kernel_ordered(boxes_ref, tri_ref, order_ref, bound_ref, ox_ref, oy_ref,
+def _kernel_ordered(order_ref, bound_ref, boxes_ref, tri_ref, ox_ref, oy_ref,
                     oz_ref, dx_ref, dy_ref, dz_ref, depth_ref, idx_ref,
                     flags_ref, cidx_ref, *, num_clusters, cluster_size,
                     max_dist):
@@ -50,7 +50,13 @@ def _kernel_ordered(boxes_ref, tri_ref, order_ref, bound_ref, ox_ref, oy_ref,
     order with a conservative lower bound per group; once every ray's best
     hit is closer than the next group's bound, traversal stops (the analog
     of the reference's sorted-children early-out, bvh.cu:183-187, done at
-    block granularity)."""
+    block granularity).
+
+    ``order_ref``/``bound_ref`` are scalar-prefetch operands living in SMEM —
+    dynamic scalar indexing along the lane dimension of VMEM arrays is not
+    lowerable, SMEM indexing is.
+    """
+    blk = pl.program_id(0)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     inv_x = 1.0 / dx
@@ -66,7 +72,7 @@ def _kernel_ordered(boxes_ref, tri_ref, order_ref, bound_ref, ox_ref, oy_ref,
 
         def cull_body(j, _):
             e = jnp.minimum(g * GROUP + j, num_clusters - 1)
-            c = order_ref[0, 0, e]
+            c = order_ref[blk, e]
             cidx_ref[j] = c
             lx = boxes_ref[c, 0]
             ly = boxes_ref[c, 1]
@@ -157,7 +163,7 @@ def _kernel_ordered(boxes_ref, tri_ref, order_ref, bound_ref, ox_ref, oy_ref,
         g, best, bidx = carry
         # converged when every ray's best hit is closer than the next
         # group's conservative entry lower bound
-        nb = bound_ref[0, 0, jnp.minimum(g, bound_ref.shape[2] - 1)]
+        nb = bound_ref[blk, jnp.minimum(g, bound_ref.shape[1] - 1)]
         return (g < num_groups) & jnp.logical_not(jnp.all(best <= nb))
 
     _, best, bidx = jax.lax.while_loop(
@@ -359,30 +365,32 @@ def cast_clusters(
     )
     if ordered:
         order, gbound = _order_and_bounds(bvh, o, B)
-        G = gbound.shape[1]
-        # (B, 1, X) layout: Mosaic requires the last two block dims divisible
-        # by (8, 128) or equal to the array dims; (1, X) blocks of a (B, X)
-        # array violate the sublane rule, (1, 1, X) of (B, 1, X) do not.
-        order = order[:, None, :]
-        gbound = gbound[:, None, :]
-        depth, idx = pl.pallas_call(
-            functools.partial(_kernel_ordered, **kw),
+        # index maps under PrefetchScalarGridSpec also receive the scalar
+        # prefetch refs after the grid indices
+        ray_spec_p = pl.BlockSpec(
+            (8, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_specs_p = [ray_spec_p, ray_spec_p]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # order + bounds land in SMEM
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_data
-                pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, G), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                *[ray_spec] * 6,
+                *[ray_spec_p] * 6,
             ],
-            out_specs=out_specs,
-            out_shape=out_shape,
+            out_specs=out_specs_p,
             scratch_shapes=[
                 pltpu.SMEM((GROUP,), jnp.int32),
                 pltpu.SMEM((GROUP,), jnp.int32),
             ],
+        )
+        depth, idx = pl.pallas_call(
+            functools.partial(_kernel_ordered, **kw),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
             interpret=interpret,
-        )(bvh.boxes, bvh.tri_data, order, gbound, *comps)
+        )(order, gbound, bvh.boxes, bvh.tri_data, *comps)
     else:
         depth, idx = pl.pallas_call(
             functools.partial(_kernel, **kw),

@@ -48,21 +48,29 @@ _NUM_TRIS = jnp.asarray(T.NUM_TRIS)  # (256,)
 MAX_TRIS_PER_CUBE = T.MAX_TRIS_PER_CUBE
 
 
-def _excl_cumsum_flat(x: Array, block: int = 4096) -> Array:
-    """Exclusive prefix sum of a flat int array, blocked for TPU.
+def _excl_cumsum_flat(x: Array, block: int = 512) -> Array:
+    """Exclusive prefix sum of a flat int array via MXU triangular matmul.
 
-    A direct 1-D ``jnp.cumsum`` over tens of millions of elements lowers
-    poorly on TPU; two-level scan (intra-block reduce-window + tiny
-    inter-block scan) keeps everything in wide tiles.
+    The FLOPs of a prefix scan belong on the systolic array: within each
+    block, ``excl = x_block @ StrictUpper`` (exact in f32 — per-block sums
+    are < 2^24); tiny int32 inter-block scan supplies offsets. A direct 1-D
+    ``jnp.cumsum`` over tens of millions of elements lowers poorly on TPU.
     """
     n = x.shape[0]
     pad = (-n) % block
     xp = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]).reshape(-1, block)
-    intra = jnp.cumsum(xp, axis=1)
-    totals = intra[:, -1]
+    xf = xp.astype(jnp.float32)
+    strict_upper = jnp.triu(jnp.ones((block, block), jnp.float32), k=1)
+    intra_excl = jax.lax.dot_general(
+        xf,
+        strict_upper,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    totals = jnp.sum(xp, axis=1)
     offsets = jnp.cumsum(totals) - totals
-    incl = intra + offsets[:, None]
-    return (incl.reshape(-1)[:n]) - x
+    return (intra_excl + offsets[:, None]).reshape(-1)[:n]
 
 
 class MCResult(NamedTuple):
