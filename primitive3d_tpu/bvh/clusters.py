@@ -22,8 +22,12 @@ Array = jax.Array
 CLUSTER_SIZE = 128  # one VPU lane row of triangles
 
 
+SUB_SIZE = 8  # triangles per sub-box (second culling level)
+
+
 class ClusterBVH(NamedTuple):
     boxes: Array  # (C, 6) float32: lo_xyz, hi_xyz per cluster
+    sub_boxes: Array  # (C, cluster_size/SUB_SIZE, 6) float32 second level
     tri_data: Array  # (C, cluster_size, 9) float32: a, e1=b-a, e2=c-a
     prim_order: Array  # (C * CLUSTER_SIZE,) int32; -1 for padding slots
 
@@ -58,8 +62,14 @@ def build_clusters(tris: Array, cluster_size: int = CLUSTER_SIZE) -> ClusterBVH:
     box_hi = jnp.max(tc.reshape(C, -1, 3), axis=1)
     boxes = jnp.concatenate([box_lo, box_hi], axis=-1)  # (C, 6)
 
+    nsub = cluster_size // SUB_SIZE
+    sc = tc.reshape(C, nsub, SUB_SIZE * 3, 3)
+    sub_boxes = jnp.concatenate(
+        [jnp.min(sc, axis=2), jnp.max(sc, axis=2)], axis=-1
+    )  # (C, nsub, 6)
+
     a = tc[:, :, 0]
     tri_data = jnp.concatenate(
         [a, tc[:, :, 1] - a, tc[:, :, 2] - a], axis=-1
     )  # (C, 128, 9)
-    return ClusterBVH(boxes, tri_data, prim)
+    return ClusterBVH(boxes, sub_boxes, tri_data, prim)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..bvh.clusters import CLUSTER_SIZE, ClusterBVH
+from ..bvh.clusters import CLUSTER_SIZE, SUB_SIZE, ClusterBVH
 
 Array = jax.Array
 
@@ -42,10 +42,10 @@ MISS = jnp.float32(3.0e38)
 GROUP = 32  # clusters per cull/process phase pair
 
 
-def _kernel_ordered(order_ref, bound_ref, boxes_ref, tri_ref, ox_ref, oy_ref,
-                    oz_ref, dx_ref, dy_ref, dz_ref, depth_ref, idx_ref,
-                    flags_ref, cidx_ref, *, num_clusters, cluster_size,
-                    max_dist):
+def _kernel_ordered(order_ref, bound_ref, boxes_ref, sub_ref, tri_ref, ox_ref,
+                    oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, depth_ref,
+                    idx_ref, flags_ref, cidx_ref, subflags_ref, *,
+                    num_clusters, cluster_size, max_dist):
     """Front-to-back variant: clusters visited in a per-block precomputed
     order with a conservative lower bound per group; once every ray's best
     hit is closer than the next group's bound, traversal stops (the analog
@@ -109,6 +109,40 @@ def _kernel_ordered(order_ref, bound_ref, boxes_ref, tri_ref, ox_ref, oy_ref,
 
             def with_cluster(carry):
                 best, bidx = carry
+                nsub = cluster_size // SUB_SIZE
+
+                # second culling level: flags for the cluster's sub-boxes,
+                # batched into SMEM (same stall-avoidance as the group phase)
+                def subcull(sj, _):
+                    lx = sub_ref[c, sj, 0]
+                    ly = sub_ref[c, sj, 1]
+                    lz = sub_ref[c, sj, 2]
+                    hx = sub_ref[c, sj, 3]
+                    hy = sub_ref[c, sj, 4]
+                    hz = sub_ref[c, sj, 5]
+                    tx0 = (lx - ox) * inv_x
+                    tx1 = (hx - ox) * inv_x
+                    ty0 = (ly - oy) * inv_y
+                    ty1 = (hy - oy) * inv_y
+                    tz0 = (lz - oz) * inv_z
+                    tz1 = (hz - oz) * inv_z
+                    tmn = jnp.maximum(
+                        jnp.maximum(
+                            jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)
+                        ),
+                        jnp.minimum(tz0, tz1),
+                    )
+                    tmx = jnp.minimum(
+                        jnp.minimum(
+                            jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)
+                        ),
+                        jnp.maximum(tz0, tz1),
+                    )
+                    use = (tmn <= tmx) & (tmx >= 0.0) & (tmn < best)
+                    subflags_ref[sj] = jnp.any(use).astype(jnp.int32)
+                    return 0
+
+                jax.lax.fori_loop(0, nsub, subcull, 0)
 
                 def tri_body(m, carry2):
                     best, bidx = carry2
@@ -148,9 +182,18 @@ def _kernel_ordered(order_ref, bound_ref, boxes_ref, tri_ref, ox_ref, oy_ref,
                     bidx = jnp.where(ok, c * cluster_size + m, bidx)
                     return best, bidx
 
-                return jax.lax.fori_loop(
-                    0, cluster_size, tri_body, (best, bidx)
-                )
+                def sub_body(sj, carry2):
+                    def with_sub(carry3):
+                        b, bi = carry3
+                        return jax.lax.fori_loop(
+                            sj * SUB_SIZE, (sj + 1) * SUB_SIZE, tri_body, (b, bi)
+                        )
+
+                    return jax.lax.cond(
+                        subflags_ref[sj] != 0, with_sub, lambda cr: cr, carry2
+                    )
+
+                return jax.lax.fori_loop(0, nsub, sub_body, (best, bidx))
 
             return jax.lax.cond(
                 flags_ref[j] != 0, with_cluster, lambda cr: cr, (best, bidx)
@@ -371,11 +414,13 @@ def cast_clusters(
             (8, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         )
         out_specs_p = [ray_spec_p, ray_spec_p]
+        nsub = bvh.tri_data.shape[1] // SUB_SIZE
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # order + bounds land in SMEM
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # sub_boxes
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_data
                 *[ray_spec_p] * 6,
             ],
@@ -383,6 +428,7 @@ def cast_clusters(
             scratch_shapes=[
                 pltpu.SMEM((GROUP,), jnp.int32),
                 pltpu.SMEM((GROUP,), jnp.int32),
+                pltpu.SMEM((nsub,), jnp.int32),
             ],
         )
         depth, idx = pl.pallas_call(
@@ -390,7 +436,7 @@ def cast_clusters(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(order, gbound, bvh.boxes, bvh.tri_data, *comps)
+        )(order, gbound, bvh.boxes, bvh.sub_boxes, bvh.tri_data, *comps)
     else:
         depth, idx = pl.pallas_call(
             functools.partial(_kernel, **kw),
