@@ -94,47 +94,53 @@ class MCResult(NamedTuple):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _masked_compact(vals: Array, mask: Array, excl_ids: Array, capacity: int):
-    """Stable stream compaction as pure gathers (both directions).
+def _masked_compact_cols(vals: Array, mask: Array, excl_ids: Array, capacity: int):
+    """Stable stream compaction of column-stacked values, gathers both ways.
 
-    Forward: ``out[s] = vals[i_s]`` where ``i_s`` is the s-th index with
-    ``mask`` set (order preserving); zeros past the selected count.
-    TPU scatters lower to serial per-element loops, so the classic
-    scatter-at-scan-slot compaction is replaced by a vectorised binary search
-    (``searchsorted``) over the inclusive prefix sum. The VJP exploits the
-    bijection between selected inputs and output slots, so the backward pass
-    is ALSO a gather: ``dvals[i] = mask[i] * g[excl_ids[i]]``.
+    ``vals`` is (K, E); forward: ``out[:, s] = vals[:, i_s]`` where ``i_s`` is
+    the s-th index with ``mask`` set (order preserving); zeros past the
+    selected count. TPU scatters lower to serial per-element loops, so the
+    classic scatter-at-scan-slot compaction is replaced by ONE stable sort on
+    the selection mask (~20x faster than binary-search compaction on TPU;
+    the sort is shared by all K columns). The VJP exploits the bijection
+    between selected inputs and output slots, so the backward pass is ALSO a
+    gather: ``dvals[:, i] = mask[i] * g[:, excl_ids[i]]``.
     """
-    out, _ = _masked_compact_fwd(vals, mask, excl_ids, capacity)
+    out, _ = _masked_compact_cols_fwd(vals, mask, excl_ids, capacity)
     return out
 
 
-def _masked_compact_fwd(vals, mask, excl_ids, capacity):
-    # Stable sort on (1-mask): selected indices move to the front in order.
-    # ~20x faster than a searchsorted binary search on TPU (measured: 7.3 ms
-    # vs 141 ms for E=6.3M / capacity=262k).
-    E = vals.shape[0]
+def _masked_compact_cols_fwd(vals, mask, excl_ids, capacity):
+    E = vals.shape[-1]
     idx = jnp.arange(E, dtype=jnp.int32)
     _, src_all = jax.lax.sort((1 - mask, idx), num_keys=1, is_stable=True)
     k = min(capacity, E)
     src = src_all[:k]
     total = excl_ids[-1] + mask[-1]
     q = jnp.arange(k, dtype=jnp.int32)
-    out = jnp.where(q < total, vals[src], 0)
+    out = jnp.where(q[None, :] < total, vals[:, src], 0)
     if k < capacity:
-        out = jnp.concatenate([out, jnp.zeros((capacity - k,), vals.dtype)])
+        out = jnp.concatenate(
+            [out, jnp.zeros((vals.shape[0], capacity - k), vals.dtype)],
+            axis=-1,
+        )
     return out, (mask, excl_ids)
 
 
-def _masked_compact_bwd(capacity, res, g):
+def _masked_compact_cols_bwd(capacity, res, g):
     mask, excl_ids = res
     slot = jnp.clip(excl_ids, 0, capacity - 1)
     in_range = (excl_ids < capacity) & (mask > 0)
-    dvals = jnp.where(in_range, g[slot], 0)
+    dvals = jnp.where(in_range[None, :], g[:, slot], 0)
     return dvals, None, None
 
 
-_masked_compact.defvjp(_masked_compact_fwd, _masked_compact_bwd)
+_masked_compact_cols.defvjp(_masked_compact_cols_fwd, _masked_compact_cols_bwd)
+
+
+def _masked_compact(vals: Array, mask: Array, excl_ids: Array, capacity: int):
+    """Single-column convenience wrapper over :func:`_masked_compact_cols`."""
+    return _masked_compact_cols(vals[None, :], mask, excl_ids, capacity)[0]
 
 
 def _crossing_masks(occ: Array) -> Tuple[Array, Array, Array]:
@@ -264,17 +270,14 @@ def _mc_padded_impl(
         [c.reshape(-1) for c in (cx, cy, cz)]
     ).astype(jnp.int32)
     ids_flat = jnp.concatenate([ids_x, ids_y, ids_z])
-    vcols = []
-    for j in range(3):
-        vals = jnp.concatenate([pos_axis[a][j] for a in range(3)])
-        col = _masked_compact(
-            vals * scale[j] + lower[j] * jnp.float32(1.0),
-            mask_flat,
-            ids_flat,
-            vert_capacity,
-        )
-        vcols.append(col)
-    verts = jnp.stack(vcols, axis=-1)
+    vals = jnp.stack(
+        [
+            jnp.concatenate([pos_axis[a][j] for a in range(3)]) * scale[j]
+            + lower[j]
+            for j in range(3)
+        ]
+    )  # (3, E)
+    verts = _masked_compact_cols(vals, mask_flat, ids_flat, vert_capacity).T
 
     # --- faces ---------------------------------------------------------------
     # Vertex-id lookup grids, one per axis (the reference materialises a dense

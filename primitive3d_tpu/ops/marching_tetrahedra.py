@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .marching_cubes import _masked_compact
+from .marching_cubes import _masked_compact_cols
 
 Array = jax.Array
 
@@ -172,13 +172,7 @@ def _mt_padded_impl(
     pos = vertices[a_idx] * w_a[:, None] + vertices[b_idx] * w_b[:, None]
 
     vmask = is_new_vertex.astype(jnp.int32)
-    verts = jnp.stack(
-        [
-            _masked_compact(pos[:, j], vmask, vslot, vert_capacity)
-            for j in range(3)
-        ],
-        axis=-1,
-    )
+    verts = _masked_compact_cols(pos.T, vmask, vslot, vert_capacity).T
 
     # --- faces ---------------------------------------------------------------
     table_idx = jnp.sum(

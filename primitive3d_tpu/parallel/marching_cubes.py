@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import mc_tables as T
-from ..ops.marching_cubes import _excl_cumsum_flat, _masked_compact
+from ..ops.marching_cubes import _excl_cumsum_flat, _masked_compact_cols
 
 Array = jax.Array
 
@@ -179,14 +179,12 @@ def sharded_marching_cubes(
 
         mask_flat = rowcat(cy[:Xs], cz[:Xs], cx).astype(jnp.int32)
         local_ids = jnp.cumsum(mask_flat) - mask_flat
-        vcols = [
-            _masked_compact(
-                rowcat(py[j], pz[j], px[j]), mask_flat, local_ids,
-                vert_cap_per_shard,
-            )
-            for j in range(3)
-        ]
-        verts = jnp.stack(vcols, axis=-1)
+        vals = jnp.stack(
+            [rowcat(py[j], pz[j], px[j]) for j in range(3)]
+        )  # (3, E_local)
+        verts = _masked_compact_cols(
+            vals, mask_flat, local_ids, vert_cap_per_shard
+        ).T
 
         # --- faces -----------------------------------------------------------
         # cube rows 0..Xs-1 (global rows s*Xs .. s*Xs+Xs-1; cubes exist for
