@@ -68,8 +68,8 @@ def main():
     signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "3300")))
 
     import primitive3d_tpu as p3d  # noqa: F401
-    from primitive3d_tpu.bvh.clusters import build_clusters
-    from primitive3d_tpu.kernels.raycast_kernel import cast_clusters
+    from primitive3d_tpu.bvh.clusters import build_mxu_clusters
+    from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_mxu
     from primitive3d_tpu.render.camera import camera_rays
 
     log(f"device: {jax.devices()[0]}")
@@ -79,7 +79,7 @@ def main():
     vb = (golden["v"] / 66.0).astype(np.float32)
     fb = golden["f"].astype(np.int32)
     tris = jnp.asarray(vb[fb])
-    cb = jax.block_until_ready(build_clusters(tris))
+    cb = jax.block_until_ready(build_mxu_clusters(tris))
     log(f"cluster bvh: {cb.num_clusters} clusters over {fb.shape[0]} tris")
 
     H = W = 512
@@ -88,12 +88,12 @@ def main():
     oj = jnp.asarray(cam.origins)
     dj = jnp.asarray(cam.dirs)
 
-    depth, idx = cast_clusters(cb, oj, dj)
+    depth, idx = cast_clusters_mxu(cb, oj, dj)
     hit_frac = float((np.asarray(idx) >= 0).mean())
     log(f"pallas hit fraction: {hit_frac:.3f}")
     assert 0.05 < hit_frac < 0.95, "camera setup wrong"
 
-    sec = amortized(lambda z: cast_clusters(cb, oj + z, dj)[0][0])
+    sec = amortized(lambda z: cast_clusters_mxu(cb, oj + z, dj)[0][0])
     rps = H * W / sec
     log(f"raycast[pallas] bunny {H}x{W}: {sec*1e3:.2f} ms = {rps/1e6:.2f} Mrays/s")
     RESULT.update(

@@ -73,3 +73,78 @@ def build_clusters(tris: Array, cluster_size: int = CLUSTER_SIZE) -> ClusterBVH:
         [a, tc[:, :, 1] - a, tc[:, :, 2] - a], axis=-1
     )  # (C, 128, 9)
     return ClusterBVH(boxes, sub_boxes, tri_data, prim)
+
+
+class MxuClusterBVH(NamedTuple):
+    """Cluster structure for the MXU kernel: per-cluster Plücker matrices.
+
+    ``w[c]`` is a (16, 5*S) matrix so that ``rvec @ w[c]`` computes, for all
+    S triangles of cluster c at once: the three ray-edge Plücker side
+    products (lanes [0:S], [S:2S], [2S:3S]), the hit denominator rd.N
+    ([3S:4S]) and numerator (a-ro).N ([4S:5S]). Ray 16-vector layout:
+    [rd, ro x rd, ro, 1, 0*6]. Same formulation as mxu_cast.py, reshaped so
+    one cluster is one MXU weight matrix.
+    """
+
+    boxes: Array  # (C, 6) float32 cluster AABBs
+    wh: Array  # (C, 16, 5*S) bfloat16: high half of the f32 matrix
+    wl: Array  # (C, 16, 5*S) bfloat16: residual, w - f32(wh)
+    prim_order: Array  # (C*S,) int32; -1 for padding slots
+
+    @property
+    def num_clusters(self) -> int:
+        return self.boxes.shape[0]
+
+    @property
+    def cluster_size(self) -> int:
+        return self.wh.shape[2] // 5
+
+
+@functools.partial(jax.jit, static_argnames=("cluster_size",))
+def build_mxu_clusters(
+    tris: Array, cluster_size: int = CLUSTER_SIZE
+) -> MxuClusterBVH:
+    """Build the MXU cluster structure from (T, 3, 3) triangles, on device."""
+    base = build_clusters(tris, cluster_size=cluster_size)
+    C = base.num_clusters
+    S = cluster_size
+    td = base.tri_data  # (C, S, 9): a, e1, e2
+    a = td[..., 0:3]
+    b = a + td[..., 3:6]
+    c3 = a + td[..., 6:9]
+    n = jnp.cross(b - a, c3 - a)
+
+    # Per-column normalization keeps every matmul result O(1)-scaled so the
+    # bf16x3 product error stays small *relative to the result*:
+    #   * edge columns -> unit 6-vectors (only the side-product SIGN is used;
+    #     positive scaling preserves it, and a shared edge of two triangles
+    #     still maps to exactly negated columns, keeping meshes watertight);
+    #   * den/num columns -> unit normal, which leaves t = num/den unchanged.
+    def edge_col(p, q):  # (C, S, 16)
+        u = jnp.concatenate([jnp.cross(p, q), q - p], -1)
+        norm = jnp.linalg.norm(u, axis=-1, keepdims=True)
+        u = u / jnp.maximum(norm, 1e-30)
+        return jnp.concatenate([u, jnp.zeros((C, S, 10), td.dtype)], -1)
+
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    nh = n / jnp.maximum(nn, 1e-30)
+    z = jnp.zeros((C, S, 3), td.dtype)
+    z6 = jnp.zeros((C, S, 6), td.dtype)
+    den_col = jnp.concatenate([nh, z, z, jnp.zeros((C, S, 7), td.dtype)], -1)
+    num_col = jnp.concatenate(
+        [z6, -nh, jnp.sum(a * nh, -1, keepdims=True), z6], -1
+    )
+    cols = jnp.stack(
+        [edge_col(a, b), edge_col(b, c3), edge_col(c3, a), den_col, num_col],
+        axis=1,
+    )  # (C, 5, S, 16)
+    w = cols.transpose(0, 3, 1, 2).reshape(C, 16, 5 * S)
+    # hi/lo bf16 split: the kernel multiplies with 3 single-pass bf16
+    # matmuls (wh*rh + wh*rl + wl*rh), ~f32 accuracy at 2x the speed of
+    # Mosaic's 6-pass HIGHEST f32 mode. reduce_precision (not a dtype cast
+    # round-trip, which XLA elides as excess precision, silently making
+    # wl == 0) guarantees the rounding happens.
+    wh32 = jax.lax.reduce_precision(w, exponent_bits=8, mantissa_bits=7)
+    wh = wh32.astype(jnp.bfloat16)
+    wl = (w - wh32).astype(jnp.bfloat16)
+    return MxuClusterBVH(base.boxes, wh, wl, base.prim_order)

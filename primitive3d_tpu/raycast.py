@@ -146,32 +146,37 @@ class MxuRayCaster(RayCaster):
 class PallasRayCaster(RayCaster):
     """Two-level cluster caster as a Pallas TPU kernel (the fast path).
 
-    Falls back to interpreter mode off-TPU (tests); see
-    kernels/raycast_kernel.py for the design.
+    Meshes whose Plücker tensor fits VMEM (~40k triangles) use the MXU
+    cluster kernel (one matmul set per cluster/ray-chunk pair); larger
+    meshes use the scalar-broadcast cluster kernel. Falls back to
+    interpreter mode off-TPU (tests); see kernels/raycast_kernel.py.
     """
+
+    MXU_MAX_TRIS = 40_000  # w tensor is 320 B/triangle; VMEM is ~16 MB
 
     def __init__(self, vertices, faces, max_dist=DEFAULT_MAX_DIST):
         super().__init__(vertices, faces, max_dist)
-        from .bvh.clusters import build_clusters
+        from .bvh.clusters import build_clusters, build_mxu_clusters
 
-        self.cbvh = jax.block_until_ready(build_clusters(self.triangles))
+        self.use_mxu = self.num_triangles <= self.MXU_MAX_TRIS
+        build = build_mxu_clusters if self.use_mxu else build_clusters
+        self.cbvh = jax.block_until_ready(build(self.triangles))
 
     def cast(self, origins, directions) -> RayHits:
-        from .kernels.raycast_kernel import cast_clusters
+        from .kernels.raycast_kernel import cast_clusters, cast_clusters_mxu
 
         o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
         d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
         interpret = jax.default_backend() not in ("tpu", "axon")
-        depth, sidx = cast_clusters(
+        kernel = cast_clusters_mxu if self.use_mxu else cast_clusters
+        depth, sidx = kernel(
             self.cbvh, o, d, max_dist=self.max_dist, interpret=interpret
         )
         hit = sidx >= 0
         safe = jnp.maximum(sidx, 0)
-        row = self.cbvh.tri_data.reshape(-1, 9)[safe]  # (R, 9): a, e1, e2
-        n = jnp.cross(row[:, 3:6], row[:, 6:9])
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
-        normals = jnp.where(hit[:, None], n, 0.0)
         face_id = jnp.where(hit, self.cbvh.prim_order[safe], -1)
+        n = tri_ops.normals(self.triangles[jnp.maximum(face_id, 0)])
+        normals = jnp.where(hit[:, None], n, 0.0)
         return RayHits(depth, normals, face_id)
 
 

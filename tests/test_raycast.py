@@ -252,6 +252,67 @@ class TestLbvhStructure:
         assert sorted(np.asarray(bvh.prim_order)) == list(range(n))
 
 
+class TestMxuClusterKernel:
+    """The MXU cluster kernel (interpret mode) vs the scalar cluster kernel
+    and the brute-force oracle."""
+
+    def test_vs_ordered_kernel_multiblock(self):
+        from primitive3d_tpu.bvh.clusters import build_clusters, build_mxu_clusters
+        from primitive3d_tpu.kernels.raycast_kernel import (
+            MBLOCK, cast_clusters, cast_clusters_mxu)
+
+        rng = np.random.default_rng(23)
+        v, f = icosphere(2)
+        tris = jnp.asarray(np.asarray(v, np.float32)[np.asarray(f)])
+        cb = build_clusters(tris)
+        mb = build_mxu_clusters(tris)
+        o, d = rays_at_sphere(MBLOCK + 700, rng)  # > 1 MXU ray block
+        t0, i0 = cast_clusters(cb, jnp.asarray(o), jnp.asarray(d),
+                               interpret=True)
+        t1, i1 = cast_clusters_mxu(mb, jnp.asarray(o), jnp.asarray(d),
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t0),
+                                   rtol=2e-4, atol=2e-4)
+        same = np.asarray(i1) == np.asarray(i0)
+        assert same.mean() > 0.99
+
+    def test_caster_with_misses(self):
+        from primitive3d_tpu.raycast import PallasRayCaster
+
+        rng = np.random.default_rng(24)
+        v, f = icosphere(2)
+        o, d = random_rays(300, rng)
+        bf = BruteForceRayCaster(v, f).cast(o, d)
+        caster = PallasRayCaster(v, f)
+        assert caster.use_mxu
+        pk = caster.cast(o, d)
+        np.testing.assert_allclose(
+            np.asarray(pk.depth), np.asarray(bf.depth), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pk.face_id) < 0, np.asarray(bf.face_id) < 0
+        )
+        same = np.asarray(pk.face_id) == np.asarray(bf.face_id)
+        assert same.mean() > 0.99
+        np.testing.assert_allclose(
+            np.asarray(pk.normals)[same], np.asarray(bf.normals)[same],
+            atol=1e-4,
+        )
+
+    def test_max_dist(self):
+        from primitive3d_tpu.bvh.clusters import build_mxu_clusters
+        from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_mxu
+
+        v, f = icosphere(1)
+        tris = jnp.asarray(np.asarray(v, np.float32)[np.asarray(f)])
+        mb = build_mxu_clusters(tris)
+        o = jnp.asarray([[3.0, 0.01, 0.02]], jnp.float32)
+        d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+        t, i = cast_clusters_mxu(mb, o, d, max_dist=1.0, interpret=True)
+        assert int(np.asarray(i)[0]) == -1
+        assert float(np.asarray(t)[0]) == 1.0
+
+
 class TestPallasOrderedVariant:
     def test_ordered_equals_unordered(self):
         from primitive3d_tpu.bvh.clusters import build_clusters
