@@ -506,14 +506,17 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
                     s0 = dot3(0)  # (S, RCHUNK)
                     s1 = dot3(1)
                     s2 = dot3(2)
-                    den = dot3(3)
                     num = dot3(4)
-                    inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0
-                              ) | (jnp.maximum(jnp.maximum(s0, s1), s2)
-                                   <= 0)
-                    # den == 0 -> t = inf/nan, rejected by t >= 0 / t < best
+                    # hit with t >= 0 iff the three side products AND the
+                    # numerator share a sign (num agreeing with den's sign
+                    # == s-sign is exactly t >= 0); den == 0 makes t inf or
+                    # nan, whose bit patterns lose the integer min below
+                    m4 = jnp.minimum(jnp.minimum(s0, s1), jnp.minimum(s2, num))
+                    M4 = jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, num))
+                    ok = (m4 >= 0) | (M4 <= 0)
+
+                    den = dot3(3)
                     t = num / den
-                    ok = inside & (t >= 0.0)
                     tm = jnp.where(ok, t, 3.0e38)
                     # low 7 mantissa bits <- triangle index; int32 order ==
                     # float order for non-negative floats

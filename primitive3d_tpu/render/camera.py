@@ -13,7 +13,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
-TILE = 32  # 32*32 == RAY_BLOCK of the pallas kernel
+TILE = 16  # 16*16 == RCHUNK of the MXU kernel: one chunk = one image quad
 
 
 class CameraRays(NamedTuple):
