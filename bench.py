@@ -105,11 +105,21 @@ def main():
 
     # --- secondary: marching cubes ------------------------------------------
     try:
+        from primitive3d_tpu.ops.marching_cubes import (
+            _counts_impl, _round_capacity)
+
+        def tight(g):
+            nv, nf, vu, cu = (int(q) for q in _counts_impl(g, jnp.float32(0)))
+            return (_round_capacity(nv), _round_capacity(nf),
+                    _round_capacity(vu), _round_capacity(cu))
+
         grid = jnp.asarray(np.load("/root/reference/examples/data/bunny.npy"))
+        vc, fc, vu, cu = tight(grid)
 
         def mc66(z):
             r = p3d.marching_cubes_padded(
-                grid + z, 0.0, vert_capacity=16384, face_capacity=32768
+                grid + z, 0.0, vert_capacity=vc, face_capacity=fc,
+                vert_units=vu, cube_units=cu
             )
             return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
 
@@ -122,11 +132,12 @@ def main():
                 -((x - n / 2) ** 2 + (y - n / 2) ** 2 + (z_ - n / 2) ** 2
                   - (n / 4) ** 2)
             )
-            vc, fc = (1 << 18, 1 << 19) if n == 128 else (1 << 20, 1 << 21)
+            vc, fc, vu, cu = tight(sph)
 
-            def mcn(zz, sph=sph, vc=vc, fc=fc):
+            def mcn(zz, sph=sph, vc=vc, fc=fc, vu=vu, cu=cu):
                 r = p3d.marching_cubes_padded(
-                    sph + zz, 0.0, vert_capacity=vc, face_capacity=fc
+                    sph + zz, 0.0, vert_capacity=vc, face_capacity=fc,
+                    vert_units=vu, cube_units=cu
                 )
                 return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
 

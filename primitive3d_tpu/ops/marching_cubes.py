@@ -47,6 +47,30 @@ _TRI_TABLE_T = jnp.asarray(T.TRI_TABLE.astype(np.int32).T)
 _NUM_TRIS = jnp.asarray(T.NUM_TRIS)  # (256,)
 MAX_TRIS_PER_CUBE = T.MAX_TRIS_PER_CUBE
 
+# NUM_TRIS values are 3 bits; pack bit b of all 256 entries into eight
+# 32-bit words so the per-cube triangle count is computable with pure vector
+# ops (selects + shifts) — a grid-sized dynamic gather from the table costs
+# ~150 ms at 256^3 on TPU, this costs ~2 ms.
+_NT_BITWORDS = np.zeros((3, 8), np.uint32)
+for _m in range(256):
+    for _b in range(3):
+        if (int(T.NUM_TRIS[_m]) >> _b) & 1:
+            _NT_BITWORDS[_b, _m // 32] |= np.uint32(1 << (_m % 32))
+
+
+def _ntris_vec(mask: Array) -> Array:
+    """Per-cube triangle count NUM_TRIS[mask] without a dynamic gather."""
+    hi = (mask >> 5).astype(jnp.int32)  # word index, 0..7
+    lo = (mask & 31).astype(jnp.uint32)  # bit index
+    out = jnp.zeros(mask.shape, jnp.int32)
+    for b in range(3):
+        w = jnp.full(mask.shape, _NT_BITWORDS[b, 0], jnp.uint32)
+        for i in range(1, 8):
+            w = jnp.where(hi == i, jnp.uint32(_NT_BITWORDS[b, i]), w)
+        bit = ((w >> lo) & 1).astype(jnp.int32)
+        out = out + (bit << b)
+    return out
+
 
 def _excl_cumsum_flat(x: Array, block: int = 512) -> Array:
     """Exclusive prefix sum of a flat int array via MXU triangular matmul.
@@ -85,37 +109,112 @@ class MCResult(NamedTuple):
     faces: Array  # (face_capacity, 3) int32
     num_vertices: Array  # () int32  (true count, may exceed capacity)
     num_faces: Array  # () int32
+    unit_overflow: Array = False  # two-level compaction ran out of units
 
     @property
     def overflowed(self) -> Array:
-        return (self.num_vertices > self.vertices.shape[0]) | (
-            self.num_faces > self.faces.shape[0]
+        return (
+            (self.num_vertices > self.vertices.shape[0])
+            | (self.num_faces > self.faces.shape[0])
+            | jnp.asarray(self.unit_overflow)
         )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _masked_compact_cols(vals: Array, mask: Array, excl_ids: Array, capacity: int):
+_UNIT = 128  # elements per unit of the two-level compaction
+
+
+def _twolevel_src(mask: Array, capacity: int, unit_capacity: int):
+    """Stable two-level selection: indices of the first ``capacity`` set bits.
+
+    A single stable sort over tens of millions of mask elements dominates MC
+    runtime at 256^3+. MC masks are ~1-2% dense and spatially coherent, so:
+    (1) sort only the per-128-element-unit occupancy bits (E/128 elements),
+    (2) gather the first ``unit_capacity`` occupied units (a cheap row
+    gather), (3) sort inside that much smaller subset. Both sorts are stable
+    and units are selected in ascending order, so global order is preserved.
+
+    Returns ``(src, unit_overflow)``. When more units are occupied than
+    ``unit_capacity`` the tail of the selection is dropped — callers must
+    surface ``unit_overflow`` (MCResult.overflowed does).
+    """
+    E = mask.shape[0]
+    U = -(-E // _UNIT)
+    padu = U * _UNIT - E
+    m2 = jnp.concatenate(
+        [mask, jnp.zeros((padu,), mask.dtype)]
+    ).reshape(U, _UNIT)
+    uany = (jnp.sum(m2, axis=1) > 0).astype(jnp.int32)
+    iu = jnp.arange(U, dtype=jnp.int32)
+    _, usrc = jax.lax.sort((1 - uany, iu), num_keys=1, is_stable=True)
+    Ku = min(U, unit_capacity)
+    usel = usrc[:Ku]
+    unit_overflow = jnp.sum(uany, dtype=jnp.int32) > Ku
+    msub = m2[usel].reshape(Ku * _UNIT)
+    isub = jnp.arange(Ku * _UNIT, dtype=jnp.int32)
+    _, ssrc = jax.lax.sort((1 - msub, isub), num_keys=1, is_stable=True)
+    k = min(capacity, Ku * _UNIT)
+    ss = ssrc[:k]
+    src = usel[ss // _UNIT] * _UNIT + ss % _UNIT
+    if k < capacity:
+        src = jnp.concatenate(
+            [src, jnp.zeros((capacity - k,), jnp.int32)]
+        )
+    return src, unit_overflow
+
+
+def _units_occupied(mask: Array) -> Array:
+    """Number of 128-element units containing any set bit (overflow check)."""
+    E = mask.shape[0]
+    U = -(-E // _UNIT)
+    m2 = jnp.concatenate(
+        [mask, jnp.zeros((U * _UNIT - E,), mask.dtype)]
+    ).reshape(U, _UNIT)
+    return jnp.sum(jnp.any(m2 > 0, axis=1), dtype=jnp.int32)
+
+
+def _default_unit_capacity(capacity: int, E: int) -> int:
+    """Units budget: assumes >= 8 selected elements per occupied unit on
+    average (MC crossings cluster along grid lines); flagged if exceeded."""
+    U = -(-E // _UNIT)
+    return min(U, max(4096, capacity // 8))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _masked_compact_cols(
+    vals: Array,
+    mask: Array,
+    excl_ids: Array,
+    capacity: int,
+    unit_capacity: int = 0,
+):
     """Stable stream compaction of column-stacked values, gathers both ways.
 
     ``vals`` is (K, E); forward: ``out[:, s] = vals[:, i_s]`` where ``i_s`` is
     the s-th index with ``mask`` set (order preserving); zeros past the
     selected count. TPU scatters lower to serial per-element loops, so the
-    classic scatter-at-scan-slot compaction is replaced by ONE stable sort on
+    classic scatter-at-scan-slot compaction is replaced by a stable sort on
     the selection mask (~20x faster than binary-search compaction on TPU;
-    the sort is shared by all K columns). The VJP exploits the bijection
-    between selected inputs and output slots, so the backward pass is ALSO a
-    gather: ``dvals[:, i] = mask[i] * g[:, excl_ids[i]]``.
+    the sort is shared by all K columns). ``unit_capacity > 0`` switches to
+    the two-level scheme (:func:`_twolevel_src`) that sorts only occupied
+    128-element units — the right choice for huge sparse masks. The VJP
+    exploits the bijection between selected inputs and output slots, so the
+    backward pass is ALSO a gather: ``dvals[:, i] = mask[i] * g[:, excl_ids[i]]``.
     """
-    out, _ = _masked_compact_cols_fwd(vals, mask, excl_ids, capacity)
+    out, _ = _masked_compact_cols_fwd(vals, mask, excl_ids, capacity,
+                                      unit_capacity)
     return out
 
 
-def _masked_compact_cols_fwd(vals, mask, excl_ids, capacity):
+def _masked_compact_cols_fwd(vals, mask, excl_ids, capacity, unit_capacity=0):
     E = vals.shape[-1]
-    idx = jnp.arange(E, dtype=jnp.int32)
-    _, src_all = jax.lax.sort((1 - mask, idx), num_keys=1, is_stable=True)
-    k = min(capacity, E)
-    src = src_all[:k]
+    if unit_capacity:
+        src, _ = _twolevel_src(mask, capacity, unit_capacity)
+        k = capacity
+    else:
+        idx = jnp.arange(E, dtype=jnp.int32)
+        _, src_all = jax.lax.sort((1 - mask, idx), num_keys=1, is_stable=True)
+        k = min(capacity, E)
+        src = src_all[:k]
     total = excl_ids[-1] + mask[-1]
     q = jnp.arange(k, dtype=jnp.int32)
     out = jnp.where(q[None, :] < total, vals[:, src], 0)
@@ -127,7 +226,7 @@ def _masked_compact_cols_fwd(vals, mask, excl_ids, capacity):
     return out, (mask, excl_ids)
 
 
-def _masked_compact_cols_bwd(capacity, res, g):
+def _masked_compact_cols_bwd(capacity, unit_capacity, res, g):
     mask, excl_ids = res
     slot = jnp.clip(excl_ids, 0, capacity - 1)
     in_range = (excl_ids < capacity) & (mask > 0)
@@ -173,8 +272,16 @@ def _counts_impl(density: Array, thresh: Array, thresh_is_dynamic: bool = True):
         + jnp.sum(cy, dtype=jnp.int32)
         + jnp.sum(cz, dtype=jnp.int32)
     )
-    nf = jnp.sum(_NUM_TRIS[_cube_mask(occ.astype(jnp.int32))], dtype=jnp.int32)
-    return nv, nf
+    ntris = _ntris_vec(_cube_mask(occ.astype(jnp.int32)))
+    nf = jnp.sum(ntris, dtype=jnp.int32)
+    # occupied 128-unit counts: lets the eager path size the two-level
+    # compaction exactly (no heuristic, no overflow)
+    mask_flat = jnp.concatenate(
+        [c.reshape(-1) for c in (cx, cy, cz)]
+    ).astype(jnp.int32)
+    vunits = _units_occupied(mask_flat)
+    cunits = _units_occupied((ntris > 0).astype(jnp.int32).reshape(-1))
+    return nv, nf, vunits, cunits
 
 
 def marching_cubes_counts(
@@ -186,7 +293,7 @@ def marching_cubes_counts(
     (marching_cubes.cu:4-68) — but usable without a host sync.
     """
     density = jnp.asarray(density, jnp.float32)
-    return _counts_impl(density, jnp.float32(thresh))
+    return _counts_impl(density, jnp.float32(thresh))[:2]
 
 
 def _edge_vertex_data(density: Array, thresh: Array, occ: Array):
@@ -234,7 +341,10 @@ def _axis_positions(shape, axis: int, dt: Array):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("vert_capacity", "face_capacity")
+    jax.jit,
+    static_argnames=(
+        "vert_capacity", "face_capacity", "vert_units", "cube_units"
+    ),
 )
 def _mc_padded_impl(
     density: Array,
@@ -243,6 +353,8 @@ def _mc_padded_impl(
     upper: Array,
     vert_capacity: int,
     face_capacity: int,
+    vert_units: int = 0,
+    cube_units: int = 0,
 ) -> MCResult:
     X, Y, Z = density.shape
     occ = density > thresh
@@ -277,7 +389,12 @@ def _mc_padded_impl(
             for j in range(3)
         ]
     )  # (3, E)
-    verts = _masked_compact_cols(vals, mask_flat, ids_flat, vert_capacity).T
+    E = mask_flat.shape[0]
+    vu = vert_units or _default_unit_capacity(vert_capacity, E)
+    verts = _masked_compact_cols(
+        vals, mask_flat, ids_flat, vert_capacity, vu
+    ).T
+    v_ovf = _units_occupied(mask_flat) > vu
 
     # --- faces ---------------------------------------------------------------
     # Vertex-id lookup grids, one per axis (the reference materialises a dense
@@ -304,29 +421,46 @@ def _mc_padded_impl(
         vgz[1:, 1:, :],  # 10: z-edge at (x+1, y+1, z)
         vgz[:-1, 1:, :],  # 11: z-edge at (x,   y+1, z)
     ]
-    # (12, C): the huge cube dimension trails -> clean lane tiling.
-    edge_vids = jnp.stack([a.reshape(-1) for a in e], axis=0)
+    # Kept as 12 separate flat views: gathering each at the face cubes fuses
+    # slice+reshape+gather without materializing a (12, C) stack (~800 MB at
+    # 256^3).
+    edge_vids = [a.reshape(-1) for a in e]
 
     mask = _cube_mask(occ_i).reshape(-1)  # (C,)
-    ntris = _NUM_TRIS[mask]  # (C,)
-    base = _excl_cumsum_flat(ntris)  # face slot base per cube
+    ntris = _ntris_vec(mask)  # (C,) — vector ops, no grid-sized gather
     num_faces = jnp.sum(ntris)
 
-    # Gather-based face emission: face slot s lives in the cube whose
-    # cumulative-triangle range contains s (binary search), at local index
-    # k = s - base[cube]; its vertex ids are two chained gathers (table, then
-    # edge-id grid). Integer-only, no scatters.
-    incl = base + ntris
-    s_q = jnp.arange(1, face_capacity + 1, dtype=incl.dtype)
+    # Active-cube face emission: only ~1% of cubes emit triangles, so first
+    # compact the active cube indices (two-level, cheap), then do the
+    # slot->cube binary search over the compacted array — its sort-based
+    # searchsorted merges face_capacity + active_capacity elements instead of
+    # the full 16M-cube grid. active <= num_faces <= face_capacity, so
+    # face_capacity is a safe active-cube budget.
+    amask = (ntris > 0).astype(jnp.int32)
+    C = amask.shape[0]
+    cu = cube_units or _default_unit_capacity(face_capacity, C)
+    asrc, _ = _twolevel_src(amask, face_capacity, cu)
+    a_ovf = _units_occupied(amask) > cu
+    n_active = jnp.sum(amask, dtype=jnp.int32)
+    valid_a = jnp.arange(face_capacity, dtype=jnp.int32) < n_active
+    ntris_a = jnp.where(valid_a, ntris[asrc], 0)  # (Ac,)
+    base_a = _excl_cumsum_flat(ntris_a)
+    incl_a = base_a + ntris_a
+
+    # Face slot s lives in the active cube whose cumulative-triangle range
+    # contains s, at local index k = s - base[cube]; vertex ids are two
+    # chained gathers (table row, then edge-id grid). Integer-only.
+    s_q = jnp.arange(1, face_capacity + 1, dtype=incl_a.dtype)
     # method='sort' merges queries+array in one parallel sort — far cheaper
     # on TPU than the default binary-search scan
-    cube = jnp.clip(
-        jnp.searchsorted(incl, s_q, method="sort"), 0, incl.shape[0] - 1
+    apos = jnp.clip(
+        jnp.searchsorted(incl_a, s_q, method="sort"), 0, incl_a.shape[0] - 1
     )
-    k = (s_q - 1) - base[cube]  # 0..4 within the cube
+    cube = asrc[apos]
+    k = (s_q - 1) - base_a[apos]  # 0..4 within the cube
     valid_f = s_q <= num_faces
     tri_rows = _TRI_TABLE_T[:, mask[cube]]  # (16, Fc)
-    evids_f = edge_vids[:, cube]  # (12, Fc)
+    evids_f = jnp.stack([a[cube] for a in edge_vids], axis=0)  # (12, Fc)
     fcols = []
     for j in range(3):
         ejk = jnp.take_along_axis(tri_rows, (3 * k + j)[None, :], axis=0)[0]
@@ -336,7 +470,7 @@ def _mc_padded_impl(
         fcols.append(jnp.where(valid_f, vid, 0))
     faces = jnp.stack(fcols, axis=-1)
 
-    return MCResult(verts, faces, num_vertices, num_faces)
+    return MCResult(verts, faces, num_vertices, num_faces, v_ovf | a_ovf)
 
 
 def marching_cubes_padded(
@@ -347,6 +481,8 @@ def marching_cubes_padded(
     face_capacity: int,
     lower=None,
     upper=None,
+    vert_units: int = 0,
+    cube_units: int = 0,
 ) -> MCResult:
     """Jittable, differentiable marching cubes with static-capacity outputs.
 
@@ -363,7 +499,8 @@ def marching_cubes_padded(
     lo = jnp.asarray([0.0, 0.0, 0.0] if lower is None else lower, jnp.float32)
     up = jnp.asarray([X, Y, Z] if upper is None else upper, jnp.float32)
     return _mc_padded_impl(
-        density, jnp.float32(thresh), lo, up, int(vert_capacity), int(face_capacity)
+        density, jnp.float32(thresh), lo, up, int(vert_capacity),
+        int(face_capacity), int(vert_units), int(cube_units)
     )
 
 
@@ -394,8 +531,8 @@ def marching_cubes(
             f"density must be a 3-D grid with every dim >= 2, got {density.shape}"
         )
     lower, upper = resolve_bounds(density.shape, scale)
-    nv, nf = marching_cubes_counts(density, thresh)
-    nv, nf = int(nv), int(nf)
+    nvj, nfj, vuj, cuj = _counts_impl(density, jnp.float32(thresh))
+    nv, nf = int(nvj), int(nfj)
     res = marching_cubes_padded(
         density,
         thresh,
@@ -403,6 +540,8 @@ def marching_cubes(
         face_capacity=_round_capacity(nf),
         lower=lower,
         upper=upper,
+        vert_units=_round_capacity(int(vuj)),
+        cube_units=_round_capacity(int(cuj)),
     )
     if verbose:
         print(f"#vertices={nv}")
