@@ -93,7 +93,7 @@ def main():
     log(f"pallas hit fraction: {hit_frac:.3f}")
     assert 0.05 < hit_frac < 0.95, "camera setup wrong"
 
-    sec = amortized(lambda z: cast_clusters_mxu(cb, oj + z, dj)[0][0])
+    sec = amortized(lambda z: cast_clusters_mxu(cb, oj + z, dj)[0][0], K=40)
     rps = H * W / sec
     log(f"raycast[pallas] bunny {H}x{W}: {sec*1e3:.2f} ms = {rps/1e6:.2f} Mrays/s")
     RESULT.update(
@@ -123,7 +123,7 @@ def main():
             )
             return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
 
-        sec = amortized(mc66, K=5)
+        sec = amortized(mc66, K=20)
         log(f"MC 66^3 bunny: {sec*1e3:.2f} ms = {grid.size/sec/1e6:.1f} Mvox/s")
 
         for n in (128, 256):
@@ -141,7 +141,7 @@ def main():
                 )
                 return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
 
-            sec = amortized(mcn, K=3)
+            sec = amortized(mcn, K=10)
             log(f"MC {n}^3 sphere: {sec*1e3:.2f} ms = {n**3/sec/1e6:.1f} Mvox/s")
     except Exception as e:  # noqa: BLE001
         log(f"MC section failed: {e}")
@@ -159,7 +159,7 @@ def main():
             )
             return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
 
-        sec = amortized(mt, K=10)
+        sec = amortized(mt, K=20)
         log(f"MT 12045 tets: {sec*1e3:.2f} ms = {tets.shape[0]/sec/1e6:.2f} Mtet/s")
     except Exception as e:  # noqa: BLE001
         log(f"MT section failed: {e}")

@@ -144,22 +144,35 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int):
         [mask, jnp.zeros((padu,), mask.dtype)]
     ).reshape(U, _UNIT)
     uany = (jnp.sum(m2, axis=1) > 0).astype(jnp.int32)
-    iu = jnp.arange(U, dtype=jnp.int32)
-    _, usrc = jax.lax.sort((1 - uany, iu), num_keys=1, is_stable=True)
+    usel = _mask_sort_idx(uany)
     Ku = min(U, unit_capacity)
-    usel = usrc[:Ku]
+    usel = usel[:Ku]
     unit_overflow = jnp.sum(uany, dtype=jnp.int32) > Ku
     msub = m2[usel].reshape(Ku * _UNIT)
-    isub = jnp.arange(Ku * _UNIT, dtype=jnp.int32)
-    _, ssrc = jax.lax.sort((1 - msub, isub), num_keys=1, is_stable=True)
-    k = min(capacity, Ku * _UNIT)
-    ss = ssrc[:k]
+    ss = _mask_sort_idx(msub)[: min(capacity, Ku * _UNIT)]
+    k = ss.shape[0]
     src = usel[ss // _UNIT] * _UNIT + ss % _UNIT
     if k < capacity:
         src = jnp.concatenate(
             [src, jnp.zeros((capacity - k,), jnp.int32)]
         )
     return src, unit_overflow
+
+
+def _mask_sort_idx(mask: Array) -> Array:
+    """Indices of set-mask positions first (each side in ascending order).
+
+    Equivalent to a stable sort on (1-mask, index) but packs both into ONE
+    int32 key — ``(1-mask) << 27 | index`` — halving the sorted bytes. Falls
+    back to the pair sort when indices don't fit 27 bits.
+    """
+    n = mask.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if n < (1 << 27):
+        key = ((1 - mask) << 27) | idx
+        return jnp.sort(key) & ((1 << 27) - 1)
+    _, src = jax.lax.sort((1 - mask, idx), num_keys=1, is_stable=True)
+    return src
 
 
 def _units_occupied(mask: Array) -> Array:
@@ -242,6 +255,114 @@ def _masked_compact(vals: Array, mask: Array, excl_ids: Array, capacity: int):
     return _masked_compact_cols(vals[None, :], mask, excl_ids, capacity)[0]
 
 
+def _decode_edge(src: Array, shape) -> Tuple[Array, ...]:
+    """Decode global edge ids (x-block, then y, then z; C-order each) into
+    axis flags, lattice coords (i, j, k) and density-flat endpoint indices."""
+    X, Y, Z = shape
+    Ex = (X - 1) * Y * Z
+    Ey = X * (Y - 1) * Z
+    is_x = src < Ex
+    is_y = (src >= Ex) & (src < Ex + Ey)
+    is_z = ~(is_x | is_y)
+    lx, ly, lz = src, src - Ex, src - Ex - Ey
+
+    def ijk(l, d1, d2):
+        return l // d1, (l % d1) // d2, l % d2
+
+    xi, xj, xk = ijk(lx, Y * Z, Z)
+    yi, yj, yk = ijk(ly, (Y - 1) * Z, Z)
+    zi, zj, zk = ijk(lz, Y * (Z - 1), Z - 1)
+
+    def pick(a, b, c):
+        return jnp.where(is_x, a, jnp.where(is_y, b, c))
+
+    i = pick(xi, yi, zi)
+    j = pick(xj, yj, zj)
+    k = pick(xk, yk, zk)
+    p0 = i * (Y * Z) + j * Z + k
+    p1 = p0 + pick(Y * Z, Z, 1)
+    return is_x, is_y, is_z, i, j, k, p0, p1
+
+
+@jax.custom_vjp
+def _selected_positions(density, thresh, src, valid, scale, lower):
+    """World positions of the selected crossing edges — sparse.
+
+    The dense formulation materialises interpolation weights and three
+    coordinate grids for ALL edges (~600 MB at 256^3) and then gathers the
+    few selected ones. This computes everything at the ``capacity`` selected
+    edges only: decode the edge id, gather its two density samples, and
+    interpolate. The VJP is hand-written to match the dense path's gradient
+    exactly (including the where-guarded zero-denominator branch), with a
+    small scatter-add back into the density grid.
+    """
+    out, _ = _selected_positions_fwd(density, thresh, src, valid, scale,
+                                     lower)
+    return out
+
+
+def _selected_positions_fwd(density, thresh, src, valid, scale, lower):
+    is_x, is_y, is_z, i, j, k, p0, p1 = _decode_edge(src, density.shape)
+    dflat = density.reshape(-1)
+    d0 = dflat[p0]
+    d1 = dflat[p1]
+    den = d1 - d0
+    safe = jnp.where(den == 0, jnp.float32(1), den)
+    dtr = (thresh - d0) / safe
+    dt = jnp.clip(dtr, 0.0, 1.0)
+    fi = i.astype(jnp.float32)
+    fj = j.astype(jnp.float32)
+    fk = k.astype(jnp.float32)
+    coords = [
+        fi + jnp.where(is_x, dt, 0.0),
+        fj + jnp.where(is_y, dt, 0.0),
+        fk + jnp.where(is_z, dt, 0.0),
+    ]
+    out = jnp.stack([coords[a] * scale[a] + lower[a] for a in range(3)])
+    out = jnp.where(valid[None, :], out, 0.0)
+    res = (density.shape, thresh, src, valid, scale, d0, d1)
+    return out, res
+
+
+def _selected_positions_bwd(res, g):
+    shape, thresh, src, valid, scale, d0, d1 = res
+    is_x, is_y, is_z, i, j, k, p0, p1 = _decode_edge(src, shape)
+    g = jnp.where(valid[None, :], g, 0.0)
+    den = d1 - d0
+    safe = jnp.where(den == 0, jnp.float32(1), den)
+    dtr = (thresh - d0) / safe
+    dt = jnp.clip(dtr, 0.0, 1.0)
+    fi = i.astype(jnp.float32)
+    fj = j.astype(jnp.float32)
+    fk = k.astype(jnp.float32)
+    coords = [
+        fi + jnp.where(is_x, dt, 0.0),
+        fj + jnp.where(is_y, dt, 0.0),
+        fk + jnp.where(is_z, dt, 0.0),
+    ]
+    dscale = jnp.stack([jnp.sum(g[a] * coords[a]) for a in range(3)])
+    dlower = jnp.stack([jnp.sum(g[a]) for a in range(3)])
+    ddt = (
+        g[0] * jnp.where(is_x, scale[0], 0.0)
+        + g[1] * jnp.where(is_y, scale[1], 0.0)
+        + g[2] * jnp.where(is_z, scale[2], 0.0)
+    )
+    inside = (dtr >= 0.0) & (dtr <= 1.0)  # clip passes grad on the boundary
+    ddtr = jnp.where(inside, ddt, 0.0)
+    zero = den == 0
+    dd0 = ddtr * jnp.where(zero, -1.0, (dtr - 1.0) / safe)
+    dd1 = ddtr * jnp.where(zero, 0.0, -dtr / safe)
+    dthresh = jnp.sum(ddtr / safe)
+    n = shape[0] * shape[1] * shape[2]
+    dflat = (
+        jnp.zeros((n,), jnp.float32).at[p0].add(dd0).at[p1].add(dd1)
+    )
+    return dflat.reshape(shape), dthresh, None, None, dscale, dlower
+
+
+_selected_positions.defvjp(_selected_positions_fwd, _selected_positions_bwd)
+
+
 def _crossing_masks(occ: Array) -> Tuple[Array, Array, Array]:
     """Edge sign-change masks along x/y/z (reference: marching_cubes.cu:29-45)."""
     cx = occ[:-1, :, :] != occ[1:, :, :]
@@ -313,31 +434,7 @@ def _edge_vertex_data(density: Array, thresh: Array, occ: Array):
     ids_x = excl_ids(cx)
     ids_y = excl_ids(cy) + nx
     ids_z = excl_ids(cz) + nx + ny
-
-    def interp(d0, d1):
-        denom = d1 - d0
-        safe = jnp.where(denom == 0, jnp.float32(1), denom)
-        return jnp.clip((thresh - d0) / safe, 0.0, 1.0)
-
-    dt_x = interp(density[:-1, :, :], density[1:, :, :])
-    dt_y = interp(density[:, :-1, :], density[:, 1:, :])
-    dt_z = interp(density[:, :, :-1], density[:, :, 1:])
-    return (cx, cy, cz), (ids_x, ids_y, ids_z), (dt_x, dt_y, dt_z)
-
-
-def _axis_positions(shape, axis: int, dt: Array):
-    """Index-space positions of the vertices on ``axis`` edges.
-
-    Returns three flat (E,) coordinate arrays (kept separate: a stacked (E, 3)
-    layout would pad the 3-wide minor dim to 128 lanes on TPU).
-    """
-    ex, ey, ez = shape
-    gx = jax.lax.broadcasted_iota(jnp.float32, (ex, ey, ez), 0)
-    gy = jax.lax.broadcasted_iota(jnp.float32, (ex, ey, ez), 1)
-    gz = jax.lax.broadcasted_iota(jnp.float32, (ex, ey, ez), 2)
-    coords = [gx, gy, gz]
-    coords[axis] = coords[axis] + dt
-    return [c.reshape(-1) for c in coords]
+    return (cx, cy, cz), (ids_x, ids_y, ids_z)
 
 
 @functools.partial(
@@ -360,7 +457,7 @@ def _mc_padded_impl(
     occ = density > thresh
     occ_i = occ.astype(jnp.int32)
 
-    (cx, cy, cz), (ids_x, ids_y, ids_z), (dt_x, dt_y, dt_z) = _edge_vertex_data(
+    (cx, cy, cz), (ids_x, ids_y, ids_z) = _edge_vertex_data(
         density, thresh, occ
     )
     num_vertices = (
@@ -369,30 +466,23 @@ def _mc_padded_impl(
         + jnp.sum(cz, dtype=jnp.int32)
     )
 
-    # --- vertices: gather-based compaction (no scatters anywhere) ------------
-    # Concatenate the three axis blocks in id order; _masked_compact pulls the
-    # selected positions to the front via searchsorted over the global scan.
+    # --- vertices: two-level selection + sparse positions --------------------
+    # Select the crossing-edge ids (two-level, sorts only occupied units),
+    # then compute interpolated world positions at the selected edges only —
+    # no dense interpolation-weight or coordinate grids (see
+    # _selected_positions).
     scale = (upper - lower) / jnp.asarray([X, Y, Z], jnp.float32)
-    pos_axis = [
-        _axis_positions(dt_x.shape, 0, dt_x),
-        _axis_positions(dt_y.shape, 1, dt_y),
-        _axis_positions(dt_z.shape, 2, dt_z),
-    ]
     mask_flat = jnp.concatenate(
         [c.reshape(-1) for c in (cx, cy, cz)]
     ).astype(jnp.int32)
-    ids_flat = jnp.concatenate([ids_x, ids_y, ids_z])
-    vals = jnp.stack(
-        [
-            jnp.concatenate([pos_axis[a][j] for a in range(3)]) * scale[j]
-            + lower[j]
-            for j in range(3)
-        ]
-    )  # (3, E)
     E = mask_flat.shape[0]
     vu = vert_units or _default_unit_capacity(vert_capacity, E)
-    verts = _masked_compact_cols(
-        vals, mask_flat, ids_flat, vert_capacity, vu
+    src, _ = _twolevel_src(mask_flat, vert_capacity, vu)
+    valid_slots = (
+        jnp.arange(vert_capacity, dtype=jnp.int32) < num_vertices
+    )
+    verts = _selected_positions(
+        density, thresh, src, valid_slots, scale, lower
     ).T
     v_ovf = _units_occupied(mask_flat) > vu
 

@@ -35,7 +35,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import mc_tables as T
-from ..ops.marching_cubes import _excl_cumsum_flat, _masked_compact_cols
+from ..ops.marching_cubes import (_default_unit_capacity, _excl_cumsum_flat,
+                                  _masked_compact_cols, _ntris_vec,
+                                  _twolevel_src)
 
 Array = jax.Array
 
@@ -71,6 +73,8 @@ def sharded_marching_cubes(
     vert_cap_per_shard: int,
     face_cap_per_shard: int,
     axis_name: str = "x",
+    vert_units: int = 0,
+    cube_units: int = 0,
 ) -> ShardedMCResult:
     """Marching cubes over an x-sharded grid. Jittable under ``mesh``.
 
@@ -178,12 +182,15 @@ def sharded_marching_cubes(
             ).reshape(-1)
 
         mask_flat = rowcat(cy[:Xs], cz[:Xs], cx).astype(jnp.int32)
-        local_ids = jnp.cumsum(mask_flat) - mask_flat
+        local_ids = _excl_cumsum_flat(mask_flat)
         vals = jnp.stack(
             [rowcat(py[j], pz[j], px[j]) for j in range(3)]
         )  # (3, E_local)
+        vu = vert_units or _default_unit_capacity(
+            vert_cap_per_shard, mask_flat.shape[0]
+        )
         verts = _masked_compact_cols(
-            vals, mask_flat, local_ids, vert_cap_per_shard
+            vals, mask_flat, local_ids, vert_cap_per_shard, vu
         ).T
 
         # --- faces -----------------------------------------------------------
@@ -206,7 +213,7 @@ def sharded_marching_cubes(
         m = jnp.where(cube_valid, m, 0)
         mask = m.reshape(Xs, -1)
 
-        ntris = _NUM_TRIS[mask]  # (Xs, C_row)
+        ntris = _ntris_vec(mask)  # (Xs, C_row) — vector ops, no gather
         row_f = jnp.sum(ntris, axis=1, dtype=jnp.int32)
         row_f_all = jax.lax.all_gather(row_f, axis_name, tiled=True)  # (X,)
         frow_off = jnp.cumsum(row_f_all) - row_f_all
@@ -223,20 +230,32 @@ def sharded_marching_cubes(
             idx[:, :-1, 1:], idy[1:, :, 1:], idx[:, 1:, 1:], idy[:-1, :, 1:],
             idz[:-1, :-1, :], idz[1:, :-1, :], idz[1:, 1:, :], idz[:-1, 1:, :],
         ]
-        edge_vids = jnp.stack([a.reshape(-1) for a in e], axis=0)  # (12, C)
+        edge_vids = [a.reshape(-1) for a in e]  # 12 flat views
 
-        # gather-based face emission over the shard's local slot range
+        # active-cube face emission over the shard's local slot range (same
+        # two-level scheme as ops/marching_cubes: compact active cubes, then
+        # search only the compacted cumulative ranges)
         ntris_f = ntris.reshape(-1)
-        base_local = jnp.cumsum(ntris_f) - ntris_f
-        incl_local = base_local + ntris_f
-        s_q = jnp.arange(1, face_cap_per_shard + 1, dtype=incl_local.dtype)
-        cube = jnp.clip(
-            jnp.searchsorted(incl_local, s_q, method="sort"), 0, incl_local.shape[0] - 1
+        amask = (ntris_f > 0).astype(jnp.int32)
+        cu = cube_units or _default_unit_capacity(
+            face_cap_per_shard, ntris_f.shape[0]
         )
-        kk = (s_q - 1) - base_local[cube]
+        asrc, _ = _twolevel_src(amask, face_cap_per_shard, cu)
+        n_active = jnp.sum(amask, dtype=jnp.int32)
+        valid_a = jnp.arange(face_cap_per_shard, dtype=jnp.int32) < n_active
+        ntris_a = jnp.where(valid_a, ntris_f[asrc], 0)
+        base_a = _excl_cumsum_flat(ntris_a)
+        incl_a = base_a + ntris_a
+        s_q = jnp.arange(1, face_cap_per_shard + 1, dtype=incl_a.dtype)
+        apos = jnp.clip(
+            jnp.searchsorted(incl_a, s_q, method="sort"),
+            0, incl_a.shape[0] - 1,
+        )
+        cube = asrc[apos]
+        kk = (s_q - 1) - base_a[apos]
         valid_f = s_q <= fcount
         tri_rows = _TRI_TABLE_T[:, mask.reshape(-1)[cube]]  # (16, Fc)
-        evids_f = edge_vids[:, cube]  # (12, Fc)
+        evids_f = jnp.stack([a[cube] for a in edge_vids], axis=0)  # (12, Fc)
         fcols = []
         for j in range(3):
             ejk = jnp.take_along_axis(
