@@ -772,3 +772,44 @@ def cast_clusters(
             interpret=interpret,
         )(bvh.boxes, bvh.tri_data, *comps)
     return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]
+
+
+def cast_clusters_diff(
+    tris: Array,
+    origins: Array,
+    dirs: Array,
+    bvh=None,
+    max_dist: float = 10.0,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Differentiable closest hit: (depth, original-triangle index).
+
+    The MXU cluster kernel finds each ray's hit triangle (discrete,
+    non-differentiable); depth is then recomputed from that triangle's plane
+    equation ``t = (a - o).n / d.n`` so gradients flow to ``tris`` and the
+    rays while the hit assignment is held fixed — the same convention as
+    differentiable rasterisation and the pipeline's all-pairs MXU path
+    (mxu_cast.py). ``bvh`` may be passed to reuse a prebuilt
+    :class:`MxuClusterBVH`; otherwise one is built from ``tris`` (under
+    ``stop_gradient``) each call.
+    """
+    from ..bvh.clusters import build_mxu_clusters
+
+    tris_ng = jax.lax.stop_gradient(tris)
+    if bvh is None:
+        bvh = build_mxu_clusters(tris_ng)
+    o_ng = jax.lax.stop_gradient(origins)
+    d_ng = jax.lax.stop_gradient(dirs)
+    _, sidx = cast_clusters_mxu(
+        bvh, o_ng, d_ng, max_dist=max_dist, interpret=interpret
+    )
+    prim = bvh.prim_order[jnp.maximum(sidx, 0)]
+    hit = (sidx >= 0) & (prim >= 0)
+    tri = tris[jnp.maximum(prim, 0)]
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    n = jnp.cross(b - a, c - a)
+    den = jnp.sum(dirs * n, axis=-1)
+    num = jnp.sum((a - origins) * n, axis=-1)
+    t = num / jnp.where(den == 0, 1e-30, den)
+    depth = jnp.where(hit, t, jnp.float32(max_dist))
+    return depth, jnp.where(hit, prim, -1)

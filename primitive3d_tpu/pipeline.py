@@ -46,11 +46,18 @@ def render_depth(
     upper=None,
     max_dist: float = 10.0,
     chunk: int = 512,
+    backend: str = "mxu",
 ) -> RenderOut:
     """Differentiable depth render of the thresh-isosurface of ``density``.
 
     Jittable (static capacities); gradients flow to ``density`` through both
     the extracted vertex positions and the ray-plane intersection.
+
+    ``backend``: "pallas" uses the cluster kernel for hit finding (depth
+    recomputed differentiably at the hit triangle — far faster than the
+    all-pairs MXU cast for large meshes; single-device programs only, and
+    face_capacity must fit its ~40k-triangle VMEM budget); "mxu" (default)
+    is the all-pairs cast and composes with any sharding.
     """
     res = marching_cubes_padded(
         density,
@@ -63,10 +70,18 @@ def render_depth(
     # Padded face rows are [0,0,0] -> degenerate (v0,v0,v0) triangles -> den=0
     # -> guaranteed miss in the caster; no masking needed.
     tris = res.vertices[res.faces]  # (face_capacity, 3, 3)
-    w = triangle_matrix(tris)
     o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
     d = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)
-    depth, idx = cast_mxu(w, o, d, jnp.float32(max_dist), chunk)
+    if backend == "pallas":
+        from .kernels.raycast_kernel import cast_clusters_diff
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        depth, idx = cast_clusters_diff(
+            tris, o, d, max_dist=max_dist, interpret=interpret
+        )
+    else:
+        w = triangle_matrix(tris)
+        depth, idx = cast_mxu(w, o, d, jnp.float32(max_dist), chunk)
     return RenderOut(depth, idx >= 0, res)
 
 
