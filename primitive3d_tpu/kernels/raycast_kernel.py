@@ -372,7 +372,8 @@ NCH = MBLOCK // RCHUNK
 
 def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
                 wl_ref, rvt_ref, rh_ref, rl_ref, binit_ref, depth_ref,
-                idx_ref, bits_ref, *, num_clusters, cluster_size, max_dist):
+                idx_ref, *scratch, num_clusters, cluster_size, max_dist,
+                stream):
     """MXU cluster caster: one matmul set per (cluster, 256-ray chunk).
 
     Layout rule: rays live in the LANE dimension everywhere — per-ray state
@@ -415,6 +416,10 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
     """
     blk = pl.program_id(0)
     S = cluster_size
+    if stream:
+        bits_ref, whs_ref, wls_ref, sem_wh, sem_wl = scratch
+    else:
+        (bits_ref,) = scratch
     rvt = rvt_ref[0]  # (16, MBLOCK)
     rh = rh_ref[0]  # bf16 hi/lo split of rvt, computed host-side with
     rl = rl_ref[0]  # reduce_precision (see build_mxu_clusters)
@@ -492,6 +497,20 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                if stream:
+                    # w lives in HBM: DMA this cluster's matrices into VMEM
+                    # scratch before the matmuls (~40 KB, amortised over up
+                    # to NCH chunk visits)
+                    cp_wh = pltpu.make_async_copy(
+                        wh_ref.at[c], whs_ref, sem_wh
+                    )
+                    cp_wl = pltpu.make_async_copy(
+                        wl_ref.at[c], wls_ref, sem_wl
+                    )
+                    cp_wh.start()
+                    cp_wl.start()
+                    cp_wh.wait()
+                    cp_wl.wait()
 
                 def visit(r, carry):
                     best, bidx = carry
@@ -499,8 +518,12 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
                     rhc, rlc = rh[:, sl], rl[:, sl]
 
                     def dot3(p):  # bf16x3 ~ f32-accurate product
-                        wh = wh_ref[c, :, p * S:(p + 1) * S]
-                        wl = wl_ref[c, :, p * S:(p + 1) * S]
+                        if stream:
+                            wh = whs_ref[:, p * S:(p + 1) * S]
+                            wl = wls_ref[:, p * S:(p + 1) * S]
+                        else:
+                            wh = wh_ref[c, :, p * S:(p + 1) * S]
+                            wl = wl_ref[c, :, p * S:(p + 1) * S]
                         return dot(wh, rhc) + dot(wh, rlc) + dot(wl, rhc)
 
                     s0 = dot3(0)  # (S, RCHUNK)
@@ -580,20 +603,26 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
     idx_ref[0] = bidx
 
 
-@functools.partial(jax.jit, static_argnames=("max_dist", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("max_dist", "interpret", "stream")
+)
 def cast_clusters_mxu(
     bvh,
     origins: Array,
     dirs: Array,
     max_dist: float = 10.0,
     interpret: bool = False,
+    stream: bool = False,
 ) -> Tuple[Array, Array]:
     """Closest hit via the MXU cluster kernel: (t, sorted-triangle index).
 
     ``bvh`` is a :class:`~primitive3d_tpu.bvh.clusters.MxuClusterBVH`. Same
-    result convention as :func:`cast_clusters`. The whole Plücker tensor
-    lives in VMEM (320 B/triangle), so this path fits meshes up to ~40k
-    triangles; larger meshes use :func:`cast_clusters`.
+    result convention as :func:`cast_clusters`. By default the whole Plücker
+    tensor lives in VMEM (320 B/triangle) — meshes up to ~40k triangles.
+    ``stream=True`` keeps it in HBM and DMAs each visited cluster's matrices
+    into VMEM scratch, raising the cap to ~250k triangles (the per-block
+    cluster order in SMEM becomes the next limit); beyond that use
+    :func:`cast_clusters`.
     """
     R = origins.shape[0]
     pad = (-R) % MBLOCK
@@ -653,15 +682,27 @@ def cast_clusters_mxu(
         in_specs=[
             pl.BlockSpec((1, Cp, 8), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wh, whole array
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wl, whole array
+            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
             ray_spec,
             ray_spec,
             ray_spec,
             out_spec,  # binit
         ],
         out_specs=[out_spec, out_spec],
-        scratch_shapes=[pltpu.SMEM((NCH + 1, CGROUP // 16), jnp.int32)],
+        scratch_shapes=(
+            [pltpu.SMEM((NCH + 1, CGROUP // 16), jnp.int32)]
+            + (
+                [
+                    pltpu.VMEM((16, 5 * bvh.cluster_size), jnp.bfloat16),
+                    pltpu.VMEM((16, 5 * bvh.cluster_size), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA,
+                ]
+                if stream
+                else []
+            )
+        ),
     )
     depth, idx = pl.pallas_call(
         functools.partial(
@@ -669,6 +710,7 @@ def cast_clusters_mxu(
             num_clusters=C,
             cluster_size=bvh.cluster_size,
             max_dist=float(max_dist),
+            stream=stream,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -152,13 +152,15 @@ class PallasRayCaster(RayCaster):
     interpreter mode off-TPU (tests); see kernels/raycast_kernel.py.
     """
 
-    MXU_MAX_TRIS = 40_000  # w tensor is 320 B/triangle; VMEM is ~16 MB
+    MXU_MAX_TRIS = 40_000  # VMEM-resident w tensor (320 B/triangle)
+    MXU_STREAM_MAX_TRIS = 250_000  # HBM-streamed w; SMEM order is the limit
 
     def __init__(self, vertices, faces, max_dist=DEFAULT_MAX_DIST):
         super().__init__(vertices, faces, max_dist)
         from .bvh.clusters import build_clusters, build_mxu_clusters
 
-        self.use_mxu = self.num_triangles <= self.MXU_MAX_TRIS
+        self.use_mxu = self.num_triangles <= self.MXU_STREAM_MAX_TRIS
+        self.mxu_stream = self.num_triangles > self.MXU_MAX_TRIS
         build = build_mxu_clusters if self.use_mxu else build_clusters
         self.cbvh = jax.block_until_ready(build(self.triangles))
 
@@ -168,10 +170,15 @@ class PallasRayCaster(RayCaster):
         o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
         d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
         interpret = jax.default_backend() not in ("tpu", "axon")
-        kernel = cast_clusters_mxu if self.use_mxu else cast_clusters
-        depth, sidx = kernel(
-            self.cbvh, o, d, max_dist=self.max_dist, interpret=interpret
-        )
+        if self.use_mxu:
+            depth, sidx = cast_clusters_mxu(
+                self.cbvh, o, d, max_dist=self.max_dist,
+                interpret=interpret, stream=self.mxu_stream,
+            )
+        else:
+            depth, sidx = cast_clusters(
+                self.cbvh, o, d, max_dist=self.max_dist, interpret=interpret
+            )
         hit = sidx >= 0
         safe = jnp.maximum(sidx, 0)
         face_id = jnp.where(hit, self.cbvh.prim_order[safe], -1)

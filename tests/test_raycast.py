@@ -312,6 +312,22 @@ class TestMxuClusterKernel:
         assert int(np.asarray(i)[0]) == -1
         assert float(np.asarray(t)[0]) == 1.0
 
+    def test_stream_matches_resident(self):
+        """HBM-streaming variant (per-cluster DMA) must match bit-exactly."""
+        from primitive3d_tpu.bvh.clusters import build_mxu_clusters
+        from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_mxu
+
+        rng = np.random.default_rng(42)
+        v, f = icosphere(2)
+        tris = jnp.asarray(np.asarray(v, np.float32)[np.asarray(f)])
+        mb = build_mxu_clusters(tris)
+        o, d = rays_at_sphere(700, rng)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        t0, i0 = cast_clusters_mxu(mb, o, d, interpret=True)
+        t1, i1 = cast_clusters_mxu(mb, o, d, interpret=True, stream=True)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
 
 class TestDifferentiableClusterCast:
     """cast_clusters_diff: kernel hit-finding + analytic depth gradient."""
