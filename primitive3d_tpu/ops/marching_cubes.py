@@ -149,9 +149,23 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int):
     usel = usel[:Ku]
     unit_overflow = jnp.sum(uany, dtype=jnp.int32) > Ku
     msub = m2[usel].reshape(Ku * _UNIT)
-    ss = _mask_sort_idx(msub)[: min(capacity, Ku * _UNIT)]
-    k = ss.shape[0]
-    src = usel[ss // _UNIT] * _UNIT + ss % _UNIT
+
+    # Third level: compact 8-element sub-units inside the gathered subset.
+    # Unlike level 1's heuristic budget, this one is EXACT: the first
+    # `capacity` selected elements span at most `capacity` occupied
+    # sub-units (each holds >= 1), so truncation can never drop them. The
+    # final element sort shrinks from unit_capacity*128 to ~capacity*8.
+    SU = 8
+    U8 = Ku * _UNIT // SU
+    m8 = msub.reshape(U8, SU)
+    u8any = (jnp.sum(m8, axis=1) > 0).astype(jnp.int32)
+    K8 = min(U8, capacity)
+    u8sel = _mask_sort_idx(u8any)[:K8]
+    m8sub = m8[u8sel].reshape(K8 * SU)
+    ss8 = _mask_sort_idx(m8sub)[: min(capacity, K8 * SU)]
+    k = ss8.shape[0]
+    ssm = u8sel[ss8 // SU] * SU + ss8 % SU  # position within msub
+    src = usel[ssm // _UNIT] * _UNIT + ssm % _UNIT
     if k < capacity:
         src = jnp.concatenate(
             [src, jnp.zeros((capacity - k,), jnp.int32)]
