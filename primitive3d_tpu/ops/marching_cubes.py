@@ -123,7 +123,19 @@ class MCResult(NamedTuple):
 _UNIT = 128  # elements per unit of the two-level compaction
 
 
-def _twolevel_src(mask: Array, capacity: int, unit_capacity: int):
+def _unit_view(mask: Array):
+    """(U, _UNIT) zero-padded view of a flat mask + per-unit counts."""
+    E = mask.shape[0]
+    U = -(-E // _UNIT)
+    m2 = jnp.concatenate(
+        [mask, jnp.zeros((U * _UNIT - E,), mask.dtype)]
+    ).reshape(U, _UNIT)
+    ucnt = jnp.sum(m2, axis=1, dtype=jnp.int32)
+    return m2, ucnt
+
+
+def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
+                  m2=None, ucnt=None):
     """Stable two-level selection: indices of the first ``capacity`` set bits.
 
     A single stable sort over tens of millions of mask elements dominates MC
@@ -137,18 +149,15 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int):
     ``unit_capacity`` the tail of the selection is dropped — callers must
     surface ``unit_overflow`` (MCResult.overflowed does).
     """
-    E = mask.shape[0]
-    U = -(-E // _UNIT)
-    padu = U * _UNIT - E
-    m2 = jnp.concatenate(
-        [mask, jnp.zeros((padu,), mask.dtype)]
-    ).reshape(U, _UNIT)
-    uany = (jnp.sum(m2, axis=1) > 0).astype(jnp.int32)
+    if m2 is None:
+        m2, ucnt = _unit_view(mask)
+    U = m2.shape[0]
+    uany = (ucnt > 0).astype(jnp.int32)
     usel = _mask_sort_idx(uany)
     Ku = min(U, unit_capacity)
     usel = usel[:Ku]
     unit_overflow = jnp.sum(uany, dtype=jnp.int32) > Ku
-    msub = m2[usel].reshape(Ku * _UNIT)
+    msub = m2[usel].reshape(Ku * _UNIT).astype(jnp.int32)
 
     # Third level: compact 8-element sub-units inside the gathered subset.
     # Unlike level 1's heuristic budget, this one is EXACT: the first
@@ -181,6 +190,7 @@ def _mask_sort_idx(mask: Array) -> Array:
     back to the pair sort when indices don't fit 27 bits.
     """
     n = mask.shape[0]
+    mask = mask.astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
     if n < (1 << 27):
         key = ((1 - mask) << 27) | idx
@@ -191,12 +201,8 @@ def _mask_sort_idx(mask: Array) -> Array:
 
 def _units_occupied(mask: Array) -> Array:
     """Number of 128-element units containing any set bit (overflow check)."""
-    E = mask.shape[0]
-    U = -(-E // _UNIT)
-    m2 = jnp.concatenate(
-        [mask, jnp.zeros((U * _UNIT - E,), mask.dtype)]
-    ).reshape(U, _UNIT)
-    return jnp.sum(jnp.any(m2 > 0, axis=1), dtype=jnp.int32)
+    _, ucnt = _unit_view(mask)
+    return jnp.sum(ucnt > 0, dtype=jnp.int32)
 
 
 def _default_unit_capacity(capacity: int, E: int) -> int:
@@ -413,9 +419,9 @@ def _counts_impl(density: Array, thresh: Array, thresh_is_dynamic: bool = True):
     # compaction exactly (no heuristic, no overflow)
     mask_flat = jnp.concatenate(
         [c.reshape(-1) for c in (cx, cy, cz)]
-    ).astype(jnp.int32)
+    ).astype(jnp.int8)
     vunits = _units_occupied(mask_flat)
-    cunits = _units_occupied((ntris > 0).astype(jnp.int32).reshape(-1))
+    cunits = _units_occupied((ntris > 0).astype(jnp.int8).reshape(-1))
     return nv, nf, vunits, cunits
 
 
@@ -469,15 +475,10 @@ def _mc_padded_impl(
 ) -> MCResult:
     X, Y, Z = density.shape
     occ = density > thresh
-    occ_i = occ.astype(jnp.int32)
+    occ_i = occ.astype(jnp.uint8)
 
     (cx, cy, cz), (ids_x, ids_y, ids_z) = _edge_vertex_data(
         density, thresh, occ
-    )
-    num_vertices = (
-        jnp.sum(cx, dtype=jnp.int32)
-        + jnp.sum(cy, dtype=jnp.int32)
-        + jnp.sum(cz, dtype=jnp.int32)
     )
 
     # --- vertices: two-level selection + sparse positions --------------------
@@ -488,17 +489,19 @@ def _mc_padded_impl(
     scale = (upper - lower) / jnp.asarray([X, Y, Z], jnp.float32)
     mask_flat = jnp.concatenate(
         [c.reshape(-1) for c in (cx, cy, cz)]
-    ).astype(jnp.int32)
+    ).astype(jnp.int8)
     E = mask_flat.shape[0]
+    m2v, ucnt_v = _unit_view(mask_flat)  # shared: counts + compaction
+    num_vertices = jnp.sum(ucnt_v)
     vu = vert_units or _default_unit_capacity(vert_capacity, E)
-    src, _ = _twolevel_src(mask_flat, vert_capacity, vu)
+    src, _ = _twolevel_src(mask_flat, vert_capacity, vu, m2=m2v, ucnt=ucnt_v)
     valid_slots = (
         jnp.arange(vert_capacity, dtype=jnp.int32) < num_vertices
     )
     verts = _selected_positions(
         density, thresh, src, valid_slots, scale, lower
     ).T
-    v_ovf = _units_occupied(mask_flat) > vu
+    v_ovf = jnp.sum(ucnt_v > 0, dtype=jnp.int32) > vu
 
     # --- faces ---------------------------------------------------------------
     # Vertex-id lookup grids, one per axis (the reference materialises a dense
@@ -530,7 +533,7 @@ def _mc_padded_impl(
     # 256^3).
     edge_vids = [a.reshape(-1) for a in e]
 
-    mask = _cube_mask(occ_i).reshape(-1)  # (C,)
+    mask = _cube_mask(occ_i).reshape(-1).astype(jnp.int32)  # (C,)
     ntris = _ntris_vec(mask)  # (C,) — vector ops, no grid-sized gather
     num_faces = jnp.sum(ntris)
 
@@ -540,12 +543,13 @@ def _mc_padded_impl(
     # searchsorted merges face_capacity + active_capacity elements instead of
     # the full 16M-cube grid. active <= num_faces <= face_capacity, so
     # face_capacity is a safe active-cube budget.
-    amask = (ntris > 0).astype(jnp.int32)
+    amask = (ntris > 0).astype(jnp.int8)
     C = amask.shape[0]
     cu = cube_units or _default_unit_capacity(face_capacity, C)
-    asrc, _ = _twolevel_src(amask, face_capacity, cu)
-    a_ovf = _units_occupied(amask) > cu
-    n_active = jnp.sum(amask, dtype=jnp.int32)
+    m2c, ucnt_c = _unit_view(amask)
+    asrc, _ = _twolevel_src(amask, face_capacity, cu, m2=m2c, ucnt=ucnt_c)
+    a_ovf = jnp.sum(ucnt_c > 0, dtype=jnp.int32) > cu
+    n_active = jnp.sum(ucnt_c)
     valid_a = jnp.arange(face_capacity, dtype=jnp.int32) < n_active
     ntris_a = jnp.where(valid_a, ntris[asrc], 0)  # (Ac,)
     base_a = _excl_cumsum_flat(ntris_a)
