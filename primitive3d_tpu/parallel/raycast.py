@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from jax import shard_map
+
 from ..raycast import RayCaster, RayHits
 
 
@@ -23,14 +25,20 @@ def make_sharded_cast(
 ) -> Callable:
     """Returns jitted ``cast(origins, dirs) -> RayHits`` with rays sharded
     over ``axis_name`` and geometry replicated. Ray count must divide evenly
-    by the axis size (pad externally otherwise)."""
-    ray_sharding = NamedSharding(mesh, P(axis_name))
-    rep = NamedSharding(mesh, P())
+    by the axis size (pad externally otherwise).
 
+    Built on ``shard_map`` — each chip runs the caster on its local ray
+    slice, so every backend works unchanged, including the Pallas kernels
+    (which pjit auto-partitioning could not split)."""
+    spec = P(axis_name)
+
+    @jax.jit
     @functools.partial(
-        jax.jit,
-        in_shardings=(ray_sharding, ray_sharding),
-        out_shardings=RayHits(ray_sharding, ray_sharding, ray_sharding),
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=RayHits(spec, spec, spec),
+        check_vma=False,  # caster state is closed-over, replicated
     )
     def cast(origins, dirs):
         return caster.cast(origins, dirs)

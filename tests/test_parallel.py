@@ -95,6 +95,27 @@ class TestShardedMC:
 
 
 class TestShardedRaycast:
+    def test_pallas_backend_matches_single_chip(self):
+        """The Pallas cluster kernel under shard_map (8-way ray DP)."""
+        mesh = make_mesh(8, axis_name="data")
+        v, f = icosphere(2)
+        rc = create_raycaster(v, f, backend="pallas")
+
+        rng = np.random.default_rng(3)
+        o = (rng.standard_normal((1024, 3)) * 2).astype(np.float32)
+        d = rng.standard_normal((1024, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+        ref = rc.cast(o, d)
+        cast = make_sharded_cast(rc, mesh)
+        out = cast(jnp.asarray(o), jnp.asarray(d))
+        np.testing.assert_allclose(
+            np.asarray(out.depth), np.asarray(ref.depth), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.face_id), np.asarray(ref.face_id)
+        )
+
     def test_matches_single_chip(self):
         mesh = make_mesh(8, axis_name="data")
         v, f = icosphere(2)
