@@ -437,14 +437,10 @@ def marching_cubes_counts(
     return _counts_impl(density, jnp.float32(thresh))[:2]
 
 
-def _edge_vertex_data(density: Array, thresh: Array, occ: Array):
-    """Per-axis crossing masks, exclusive-scan vertex ids, and positions.
-
-    Returns (masks, ids, positions) per axis. Ids are global: x-axis vertices
-    first (C-order), then y, then z — a deterministic replacement for the
-    reference's atomicAdd slot allocation (marching_cubes.cu:104,117,130).
-    """
-    cx, cy, cz = _crossing_masks(occ)
+def _edge_ids(cx, cy, cz):
+    """Global exclusive-scan vertex ids per axis: x-axis vertices first
+    (C-order), then y, then z — a deterministic replacement for the
+    reference's atomicAdd slot allocation (marching_cubes.cu:104,117,130)."""
     nx = jnp.sum(cx, dtype=jnp.int32)
     ny = jnp.sum(cy, dtype=jnp.int32)
 
@@ -454,13 +450,20 @@ def _edge_vertex_data(density: Array, thresh: Array, occ: Array):
     ids_x = excl_ids(cx)
     ids_y = excl_ids(cy) + nx
     ids_z = excl_ids(cz) + nx + ny
-    return (cx, cy, cz), (ids_x, ids_y, ids_z)
+    return ids_x, ids_y, ids_z
+
+
+def _edge_vertex_data(density: Array, thresh: Array, occ: Array):
+    """Per-axis crossing masks and exclusive-scan vertex ids (XLA path)."""
+    cx, cy, cz = _crossing_masks(occ)
+    return (cx, cy, cz), _edge_ids(cx, cy, cz)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "vert_capacity", "face_capacity", "vert_units", "cube_units"
+        "vert_capacity", "face_capacity", "vert_units", "cube_units",
+        "fused_masks_mode",
     ),
 )
 def _mc_padded_impl(
@@ -472,14 +475,22 @@ def _mc_padded_impl(
     face_capacity: int,
     vert_units: int = 0,
     cube_units: int = 0,
+    fused_masks_mode: int = 0,  # 0: XLA stencils, 1: fused Pallas kernel
 ) -> MCResult:
     X, Y, Z = density.shape
-    occ = density > thresh
-    occ_i = occ.astype(jnp.uint8)
+    if fused_masks_mode:
+        from ..kernels.mc_masks import fused_masks
 
-    (cx, cy, cz), (ids_x, ids_y, ids_z) = _edge_vertex_data(
-        density, thresh, occ
-    )
+        cx, cy, cz, cmask = fused_masks(
+            jax.lax.stop_gradient(density), thresh
+        )
+        ids_x, ids_y, ids_z = _edge_ids(cx, cy, cz)
+    else:
+        occ = density > thresh
+        (cx, cy, cz), (ids_x, ids_y, ids_z) = _edge_vertex_data(
+            density, thresh, occ
+        )
+        cmask = None
 
     # --- vertices: two-level selection + sparse positions --------------------
     # Select the crossing-edge ids (two-level, sorts only occupied units),
@@ -533,7 +544,9 @@ def _mc_padded_impl(
     # 256^3).
     edge_vids = [a.reshape(-1) for a in e]
 
-    mask = _cube_mask(occ_i).reshape(-1).astype(jnp.int32)  # (C,)
+    if cmask is None:
+        cmask = _cube_mask((density > thresh).astype(jnp.uint8))
+    mask = cmask.reshape(-1).astype(jnp.int32)  # (C,)
     ntris = _ntris_vec(mask)  # (C,) — vector ops, no grid-sized gather
     num_faces = jnp.sum(ntris)
 
@@ -606,9 +619,10 @@ def marching_cubes_padded(
     X, Y, Z = density.shape
     lo = jnp.asarray([0.0, 0.0, 0.0] if lower is None else lower, jnp.float32)
     up = jnp.asarray([X, Y, Z] if upper is None else upper, jnp.float32)
+    fused = 1 if jax.default_backend() in ("tpu", "axon") else 0
     return _mc_padded_impl(
         density, jnp.float32(thresh), lo, up, int(vert_capacity),
-        int(face_capacity), int(vert_units), int(cube_units)
+        int(face_capacity), int(vert_units), int(cube_units), fused
     )
 
 
