@@ -113,18 +113,25 @@ def main():
             return (_round_capacity(nv), _round_capacity(nf),
                     _round_capacity(vu), _round_capacity(cu))
 
+        def mc_bench(name, grid, K):
+            try:
+                vc, fc, vu, cu = tight(grid)
+
+                def mcg(zz):
+                    r = p3d.marching_cubes_padded(
+                        grid + zz, 0.0, vert_capacity=vc, face_capacity=fc,
+                        vert_units=vu, cube_units=cu
+                    )
+                    return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
+
+                sec = amortized(mcg, K=K)
+                log(f"MC {name}: {sec*1e3:.2f} ms = "
+                    f"{grid.size/sec/1e6:.1f} Mvox/s")
+            except Exception as e:  # noqa: BLE001
+                log(f"MC {name} failed: {e}")
+
         grid = jnp.asarray(np.load("/root/reference/examples/data/bunny.npy"))
-        vc, fc, vu, cu = tight(grid)
-
-        def mc66(z):
-            r = p3d.marching_cubes_padded(
-                grid + z, 0.0, vert_capacity=vc, face_capacity=fc,
-                vert_units=vu, cube_units=cu
-            )
-            return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
-
-        sec = amortized(mc66, K=20)
-        log(f"MC 66^3 bunny: {sec*1e3:.2f} ms = {grid.size/sec/1e6:.1f} Mvox/s")
+        mc_bench("66^3 bunny", grid, K=20)
 
         for n in (128, 256):
             x, y, z_ = np.mgrid[:n, :n, :n].astype(np.float32)
@@ -132,17 +139,7 @@ def main():
                 -((x - n / 2) ** 2 + (y - n / 2) ** 2 + (z_ - n / 2) ** 2
                   - (n / 4) ** 2)
             )
-            vc, fc, vu, cu = tight(sph)
-
-            def mcn(zz, sph=sph, vc=vc, fc=fc, vu=vu, cu=cu):
-                r = p3d.marching_cubes_padded(
-                    sph + zz, 0.0, vert_capacity=vc, face_capacity=fc,
-                    vert_units=vu, cube_units=cu
-                )
-                return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
-
-            sec = amortized(mcn, K=10)
-            log(f"MC {n}^3 sphere: {sec*1e3:.2f} ms = {n**3/sec/1e6:.1f} Mvox/s")
+            mc_bench(f"{n}^3 sphere", sph, K=10)
     except Exception as e:  # noqa: BLE001
         log(f"MC section failed: {e}")
 

@@ -34,32 +34,39 @@ def _kernel(th_ref, dens_hbm, cx_ref, cy_ref, cz_ref, cm_ref, slab_ref,
     )
     cp.start()
     cp.wait()
-    occ = (slab_ref[:] > th_ref[0]).astype(jnp.uint8)  # (XB+1, Y, Z)
+    occ = (slab_ref[:] > th_ref[0]).astype(jnp.int32)  # (XB+1, Y, Z)
 
-    zx = jnp.zeros((XB, 1, Z), jnp.int8)
-    zl = jnp.zeros((XB, Y, 1), jnp.int8)
-    cx_ref[:] = (occ[:-1] ^ occ[1:]).astype(jnp.int8)
-    cy = (occ[:XB, :-1, :] ^ occ[:XB, 1:, :]).astype(jnp.int8)
-    cy_ref[:] = jnp.concatenate([cy, zx], axis=1)
-    cz = (occ[:XB, :, :-1] ^ occ[:XB, :, 1:]).astype(jnp.int8)
-    cz_ref[:] = jnp.concatenate([cz, zl], axis=2)
+    # Two Mosaic lowering rules shape this kernel: (1) vector arithmetic only
+    # exists for i16/i32 — all mask math runs in i32 and truncates to
+    # i8/u8 at the store; (2) shapes must keep the lane dim 128-aligned, so
+    # neighbour shifts are edge-replicated concats on full (XB, Y, Z) shapes
+    # instead of interior slices (the wrapper pads Y/Z). Replication makes
+    # the shifted-off last row/col xor to zero, which is exactly the zero
+    # padding the callers' valid-view slices expect.
+    def sy(a):  # shift -1 in y, replicating the last row
+        return jnp.concatenate([a[:, 1:, :], a[:, -1:, :]], axis=1)
 
-    o = occ
-    m = (
-        o[:XB, :-1, :-1]
-        + (o[1:, :-1, :-1] << 1)
-        + (o[1:, 1:, :-1] << 2)
-        + (o[:XB, 1:, :-1] << 3)
-        + (o[:XB, :-1, 1:] << 4)
-        + (o[1:, :-1, 1:] << 5)
-        + (o[1:, 1:, 1:] << 6)
-        + (o[:XB, 1:, 1:] << 7)
-    )  # (XB, Y-1, Z-1) uint8
-    zxy = jnp.zeros((XB, 1, Z - 1), jnp.uint8)
-    zzl = jnp.zeros((XB, Y, 1), jnp.uint8)
-    cm_ref[:] = jnp.concatenate(
-        [jnp.concatenate([m, zxy], axis=1), zzl], axis=2
-    )
+    def sz(a):  # shift -1 in z, replicating the last col
+        return jnp.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=2)
+
+    o00 = occ[:XB]
+    o10 = occ[1:]
+    cx_ref[:] = (o00 ^ o10).astype(jnp.int8)
+    cy_ref[:] = (o00 ^ sy(o00)).astype(jnp.int8)
+    cz_ref[:] = (o00 ^ sz(o00)).astype(jnp.int8)
+
+    o01 = sy(o00)
+    o11 = sy(o10)
+    cm_ref[:] = (
+        o00
+        + (o10 << 1)
+        + (o11 << 2)
+        + (o01 << 3)
+        + (sz(o00) << 4)
+        + (sz(o10) << 5)
+        + (sz(o11) << 6)
+        + (sz(o01) << 7)
+    ).astype(jnp.uint8)  # junk in the last y/z rows; sliced off by caller
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -74,9 +81,19 @@ def fused_masks(
     X, Y, Z = density.shape
     G = -(-X // XB)
     padx = G * XB + 1 - X
-    dens = jnp.concatenate(
-        [density, jnp.broadcast_to(density[-1:], (padx, Y, Z))]
-    )  # replicated pad rows -> zero crossings past the boundary
+    # Mosaic needs the (sublane, lane) dims of the int8 vectors tile-aligned
+    # (a 66^3 grid lowers to vector<8x65x65xi8> adds, which fail); pad Y/Z by
+    # edge replication -> zero crossings in the pads, sliced off below.
+    Yp = -(-Y // 32) * 32
+    Zp = -(-Z // 128) * 128
+    dens = jnp.pad(
+        jnp.concatenate(
+            [density, jnp.broadcast_to(density[-1:], (padx, Y, Z))]
+        ),  # replicated pad rows -> zero crossings past the boundary
+        ((0, 0), (0, Yp - Y), (0, Zp - Z)),
+        mode="edge",
+    )
+    Y, Z = Yp, Zp
 
     out_spec = pl.BlockSpec((XB, Y, Z), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -102,6 +119,10 @@ def fused_masks(
         out_shape=shapes,
         interpret=interpret,
     )(jnp.reshape(thresh, (1,)).astype(jnp.float32), dens)
-    return cx[: X - 1], cy[:X, : Y - 1], cz[:X, :, : Z - 1], cm[
-        : X - 1, : Y - 1, : Z - 1
-    ]
+    X, Y, Z = density.shape
+    return (
+        cx[: X - 1, :Y, :Z],
+        cy[:X, : Y - 1, :Z],
+        cz[:X, :Y, : Z - 1],
+        cm[: X - 1, : Y - 1, : Z - 1],
+    )

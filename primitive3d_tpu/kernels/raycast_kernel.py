@@ -365,7 +365,7 @@ def _order_and_bounds(bvh, o: Array, B: int, group: int = GROUP,
 
 
 CGROUP = 128  # clusters culled per vectorized pass in the MXU kernel
-RCHUNK = 256  # rays per matmul chunk
+RCHUNK = int(__import__("os").environ.get("P3D_RCHUNK", "256"))
 MBLOCK = 2048  # rays per program of the MXU kernel
 NCH = MBLOCK // RCHUNK
 

@@ -1,0 +1,53 @@
+"""Quick raycast-only bench for kernel iteration (full harness: bench.py)."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/prim3d_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+
+from primitive3d_tpu.bvh.clusters import build_mxu_clusters  # noqa: E402
+from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_mxu  # noqa: E402
+from primitive3d_tpu.render.camera import camera_rays  # noqa: E402
+
+
+def main():
+    golden = np.load("/root/repo/tests/goldens/bunny_mc.npz")
+    vb = (golden["v"] / 66.0).astype(np.float32)
+    fb = golden["f"].astype(np.int32)
+    tris = jnp.asarray(vb[fb])
+    cb = jax.block_until_ready(build_mxu_clusters(tris))
+
+    H = W = 512
+    cam = camera_rays(H, W, origin=(0.5, 0.5, -1.5), look_at=(0.5, 0.5, 0.5),
+                      fov_y=35.0)
+    oj = jnp.asarray(cam.origins)
+    dj = jnp.asarray(cam.dirs)
+
+    depth, idx = cast_clusters_mxu(cb, oj, dj)
+    hit = float((np.asarray(idx) >= 0).mean())
+    md = float(np.asarray(depth)[np.asarray(idx) >= 0].mean())
+    print(f"hit_frac={hit:.4f} mean_depth={md:.4f}", flush=True)
+
+    K = 40
+
+    @jax.jit
+    def looped(z):
+        def body(i, acc):
+            return acc + cast_clusters_mxu(cb, oj + (acc * 1e-30 + z), dj)[0][0]
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    float(looped(jnp.float32(0)))
+    t0 = time.perf_counter()
+    float(looped(jnp.float32(0)))
+    sec = (time.perf_counter() - t0) / K
+    print(f"{sec*1e3:.3f} ms/cast = {H*W/sec/1e6:.2f} Mrays/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
