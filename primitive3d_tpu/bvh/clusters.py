@@ -78,17 +78,20 @@ def build_clusters(tris: Array, cluster_size: int = CLUSTER_SIZE) -> ClusterBVH:
 class MxuClusterBVH(NamedTuple):
     """Cluster structure for the MXU kernel: per-cluster Plücker matrices.
 
-    ``w[c]`` is a (16, 5*S) matrix so that ``rvec @ w[c]`` computes, for all
+    ``w[c]`` is a (16, 4*S) matrix so that ``rvec @ w[c]`` computes, for all
     S triangles of cluster c at once: the three ray-edge Plücker side
-    products (lanes [0:S], [S:2S], [2S:3S]), the hit denominator rd.N
-    ([3S:4S]) and numerator (a-ro).N ([4S:5S]). Ray 16-vector layout:
-    [rd, ro x rd, ro, 1, 0*6]. Same formulation as mxu_cast.py, reshaped so
-    one cluster is one MXU weight matrix.
+    products (lanes [0:S], [S:2S], [2S:3S]) and the hit numerator (a-ro).N
+    ([3S:4S]). The hit denominator rd.N is NOT a separate product: with
+    unnormalized edge columns the three side products sum to it exactly
+    (a×b + b×c + c×a = (b-a)×(c-a) = N), so the kernel computes
+    den = s0 + s1 + s2 with two vector adds instead of a fourth matmul
+    set. Ray 16-vector layout: [rd, ro x rd, ro, 1, 0*6]. Same formulation
+    as mxu_cast.py, reshaped so one cluster is one MXU weight matrix.
     """
 
     boxes: Array  # (C, 6) float32 cluster AABBs
-    wh: Array  # (C, 16, 5*S) bfloat16: high half of the f32 matrix
-    wl: Array  # (C, 16, 5*S) bfloat16: residual, w - f32(wh)
+    wh: Array  # (C, 16, 4*S) bfloat16: high half of the f32 matrix
+    wl: Array  # (C, 16, 4*S) bfloat16: residual, w - f32(wh)
     prim_order: Array  # (C*S,) int32; -1 for padding slots
 
     @property
@@ -97,7 +100,7 @@ class MxuClusterBVH(NamedTuple):
 
     @property
     def cluster_size(self) -> int:
-        return self.wh.shape[2] // 5
+        return self.wh.shape[2] // 4
 
 
 @functools.partial(jax.jit, static_argnames=("cluster_size",))
@@ -114,31 +117,26 @@ def build_mxu_clusters(
     c3 = a + td[..., 6:9]
     n = jnp.cross(b - a, c3 - a)
 
-    # Per-column normalization keeps every matmul result O(1)-scaled so the
-    # bf16x3 product error stays small *relative to the result*:
-    #   * edge columns -> unit 6-vectors (only the side-product SIGN is used;
-    #     positive scaling preserves it, and a shared edge of two triangles
-    #     still maps to exactly negated columns, keeping meshes watertight);
-    #   * den/num columns -> unit normal, which leaves t = num/den unchanged.
+    # Columns are deliberately UNNORMALIZED: bf16 error is relative to each
+    # column's scale either way (s_i scales with |u_i|, so the sign-ambiguity
+    # band is scale-invariant), and keeping the raw Plücker edges preserves
+    # the exact identity den = s0 + s1 + s2 — the denominator product is
+    # recovered in the kernel with two adds instead of a matmul set. A shared
+    # edge of two triangles still maps to exactly negated columns, keeping
+    # meshes watertight.
     def edge_col(p, q):  # (C, S, 16)
         u = jnp.concatenate([jnp.cross(p, q), q - p], -1)
-        norm = jnp.linalg.norm(u, axis=-1, keepdims=True)
-        u = u / jnp.maximum(norm, 1e-30)
         return jnp.concatenate([u, jnp.zeros((C, S, 10), td.dtype)], -1)
 
-    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    nh = n / jnp.maximum(nn, 1e-30)
-    z = jnp.zeros((C, S, 3), td.dtype)
     z6 = jnp.zeros((C, S, 6), td.dtype)
-    den_col = jnp.concatenate([nh, z, z, jnp.zeros((C, S, 7), td.dtype)], -1)
     num_col = jnp.concatenate(
-        [z6, -nh, jnp.sum(a * nh, -1, keepdims=True), z6], -1
+        [z6, -n, jnp.sum(a * n, -1, keepdims=True), z6], -1
     )
     cols = jnp.stack(
-        [edge_col(a, b), edge_col(b, c3), edge_col(c3, a), den_col, num_col],
+        [edge_col(a, b), edge_col(b, c3), edge_col(c3, a), num_col],
         axis=1,
-    )  # (C, 5, S, 16)
-    w = cols.transpose(0, 3, 1, 2).reshape(C, 16, 5 * S)
+    )  # (C, 4, S, 16)
+    w = cols.transpose(0, 3, 1, 2).reshape(C, 16, 4 * S)
     # hi/lo bf16 split: the kernel multiplies with 3 single-pass bf16
     # matmuls (wh*rh + wh*rl + wl*rh), ~f32 accuracy at 2x the speed of
     # Mosaic's 6-pass HIGHEST f32 mode. reduce_precision (not a dtype cast

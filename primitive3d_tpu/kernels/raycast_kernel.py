@@ -470,6 +470,8 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
                 jnp.maximum(tz0, tz1),
             )
             useful = (tmin <= tmax) & (tmax >= 0.0) & (tmin < best[r:r + 1])
+            if __import__("os").environ.get("P3D_PROBE") == "cull":
+                useful = useful & (tmin > 3.0e37)
             fcol = jnp.any(useful, axis=1, keepdims=True).astype(jnp.float32)
             for k in range(KCH):  # bit-pack: 16 flags per SMEM int
                 bits_ref[r, k] = jnp.sum(fcol * pack_cols[k]).astype(jnp.int32)
@@ -529,7 +531,7 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
                     s0 = dot3(0)  # (S, RCHUNK)
                     s1 = dot3(1)
                     s2 = dot3(2)
-                    num = dot3(4)
+                    num = dot3(3)
                     # hit with t >= 0 iff the three side products AND the
                     # numerator share a sign (num agreeing with den's sign
                     # == s-sign is exactly t >= 0); den == 0 makes t inf or
@@ -538,7 +540,9 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
                     M4 = jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, num))
                     ok = (m4 >= 0) | (M4 <= 0)
 
-                    den = dot3(3)
+                    # exact Plücker identity (see MxuClusterBVH): the three
+                    # unnormalized side products sum to rd.N
+                    den = (s0 + s1) + s2
                     t = num / den
                     tm = jnp.where(ok, t, 3.0e38)
                     # low 7 mantissa bits <- triangle index; int32 order ==
@@ -694,8 +698,8 @@ def cast_clusters_mxu(
             [pltpu.SMEM((NCH + 1, CGROUP // 16), jnp.int32)]
             + (
                 [
-                    pltpu.VMEM((16, 5 * bvh.cluster_size), jnp.bfloat16),
-                    pltpu.VMEM((16, 5 * bvh.cluster_size), jnp.bfloat16),
+                    pltpu.VMEM((16, 4 * bvh.cluster_size), jnp.bfloat16),
+                    pltpu.VMEM((16, 4 * bvh.cluster_size), jnp.bfloat16),
                     pltpu.SemaphoreType.DMA,
                     pltpu.SemaphoreType.DMA,
                 ]
