@@ -370,10 +370,13 @@ MBLOCK = 2048  # rays per program of the MXU kernel
 NCH = MBLOCK // RCHUNK
 
 
-def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
-                wl_ref, rvt_ref, rh_ref, rl_ref, binit_ref, depth_ref,
+CULL = __import__("os").environ.get("P3D_CULL", "interval")
+
+
+def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, rint_ref,
+                wh_ref, wl_ref, rvt_ref, rh_ref, rl_ref, binit_ref, depth_ref,
                 idx_ref, *scratch, num_clusters, cluster_size, max_dist,
-                stream):
+                stream, cull):
     """MXU cluster caster: one matmul set per (cluster, 256-ray chunk).
 
     Layout rule: rays live in the LANE dimension everywhere — per-ray state
@@ -424,20 +427,30 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
     rh = rh_ref[0]  # bf16 hi/lo split of rvt, computed host-side with
     rl = rl_ref[0]  # reduce_precision (see build_mxu_clusters)
 
-    ray_rows = []  # per chunk: (rox, roy, roz, ivx, ivy, ivz) as (1, RCHUNK)
-    for r in range(NCH):
-        sl = slice(r * RCHUNK, (r + 1) * RCHUNK)
-        ray_rows.append((
-            rvt[6:7, sl], rvt[7:8, sl], rvt[8:9, sl],
-            1.0 / rvt[0:1, sl], 1.0 / rvt[1:2, sl], 1.0 / rvt[2:3, sl],
-        ))
-
-    crow = jax.lax.broadcasted_iota(jnp.int32, (CGROUP, 1), 0)
-    pack_cols = [
-        jnp.where(crow // 16 == k,
-                  jnp.exp2((crow % 16).astype(jnp.float32)), 0.0)
-        for k in range(CGROUP // 16)
-    ]
+    if cull == "ray":
+        # per chunk: (rox, roy, roz, ivx, ivy, ivz) as (1, RCHUNK)
+        ray_rows = []
+        for r in range(NCH):
+            sl = slice(r * RCHUNK, (r + 1) * RCHUNK)
+            ray_rows.append((
+                rvt[6:7, sl], rvt[7:8, sl], rvt[8:9, sl],
+                1.0 / rvt[0:1, sl], 1.0 / rvt[1:2, sl], 1.0 / rvt[2:3, sl],
+            ))
+        crow = jax.lax.broadcasted_iota(jnp.int32, (CGROUP, 1), 0)
+        pack_cols = [
+            jnp.where(crow // 16 == k,
+                      jnp.exp2((crow % 16).astype(jnp.float32)), 0.0)
+            for k in range(CGROUP // 16)
+        ]
+    else:
+        # bit-pack matrix for the interval cull: one (NCH, CGROUP) x
+        # (CGROUP, KCH) matmul packs all flags (exact: 0/1 times powers of
+        # two, f32 accumulate)
+        pc = jax.lax.broadcasted_iota(jnp.int32, (CGROUP, CGROUP // 16), 0)
+        pk = jax.lax.broadcasted_iota(jnp.int32, (CGROUP, CGROUP // 16), 1)
+        packP = jnp.where(pc // 16 == pk,
+                          jnp.exp2((pc % 16).astype(jnp.float32)), 0.0)
+        cpos = jax.lax.broadcasted_iota(jnp.int32, (1, CGROUP), 1)
     tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, RCHUNK), 0)
     brow = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
 
@@ -450,31 +463,77 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, wh_ref,
         g, best, bidx = carry
 
         # --- vectorized cull: flags per (cluster, ray-chunk) ----------------
-        box = boxes_ref[0, pl.ds(g * CGROUP, CGROUP), :]  # (CGROUP, 8)
-        lx, ly, lz = box[:, 0:1], box[:, 1:2], box[:, 2:3]
-        hx, hy, hz = box[:, 3:4], box[:, 4:5], box[:, 5:6]
-        for r in range(NCH):
-            rox, roy, roz, ivx, ivy, ivz = ray_rows[r]
-            tx0 = (lx - rox) * ivx
-            tx1 = (hx - rox) * ivx
-            ty0 = (ly - roy) * ivy
-            ty1 = (hy - roy) * ivy
-            tz0 = (lz - roz) * ivz
-            tz1 = (hz - roz) * ivz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.minimum(tz0, tz1),
-            )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.maximum(tz0, tz1),
-            )
-            useful = (tmin <= tmax) & (tmax >= 0.0) & (tmin < best[r:r + 1])
+        if cull == "ray":
+            box = boxes_ref[0, pl.ds(g * CGROUP, CGROUP), :]  # (CGROUP, 8)
+            lx, ly, lz = box[:, 0:1], box[:, 1:2], box[:, 2:3]
+            hx, hy, hz = box[:, 3:4], box[:, 4:5], box[:, 5:6]
+            for r in range(NCH):
+                rox, roy, roz, ivx, ivy, ivz = ray_rows[r]
+                tx0 = (lx - rox) * ivx
+                tx1 = (hx - rox) * ivx
+                ty0 = (ly - roy) * ivy
+                ty1 = (hy - roy) * ivy
+                tz0 = (lz - roz) * ivz
+                tz1 = (hz - roz) * ivz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
+                useful = (tmin <= tmax) & (tmax >= 0.0) & (tmin < best[r:r + 1])
+                if __import__("os").environ.get("P3D_PROBE") == "cull":
+                    useful = useful & (tmin > 3.0e37)
+                fcol = jnp.any(useful, axis=1, keepdims=True).astype(jnp.float32)
+                for k in range(KCH):  # bit-pack: 16 flags per SMEM int
+                    bits_ref[r, k] = jnp.sum(fcol * pack_cols[k]).astype(
+                        jnp.int32)
+        else:
+            # Conservative interval slab test at (cluster x CHUNK)
+            # granularity: the chunk's origin box and inverse-direction
+            # intervals (host-computed, rint_ref) against each cluster plane.
+            # All 8 endpoint products bound the near/far crossing times, so a
+            # flag here is a superset of the exact per-ray flags — same
+            # results, ~NCH*RCHUNK/8 times less cull arithmetic (ops on
+            # (NCH, CGROUP) tiles instead of (CGROUP, RCHUNK) per chunk).
+            bm = jnp.max(best, axis=1, keepdims=True)  # (NCH, 1) loosest best
+            gsl = pl.ds(g * CGROUP, CGROUP)
+            tl = None
+            th = None
+            for a in range(3):
+                L0 = boxes_ref[0, a:a + 1, gsl]       # (1, C) lo plane
+                L1 = boxes_ref[0, a + 3:a + 4, gsl]   # (1, C) hi plane
+                olo = rint_ref[0, :, 2 * a:2 * a + 1]       # (NCH, 1)
+                ohi = rint_ref[0, :, 2 * a + 1:2 * a + 2]
+                ivl = rint_ref[0, :, 6 + 2 * a:7 + 2 * a]
+                ivh = rint_ref[0, :, 7 + 2 * a:8 + 2 * a]
+                d00 = L0 - ohi   # (NCH, C)
+                d01 = L0 - olo
+                d10 = L1 - ohi
+                d11 = L1 - olo
+                prods = (d00 * ivl, d00 * ivh, d01 * ivl, d01 * ivh,
+                         d10 * ivl, d10 * ivh, d11 * ivl, d11 * ivh)
+                nr = prods[0]
+                fr = prods[0]
+                for q in prods[1:]:
+                    nr = jnp.minimum(nr, q)
+                    fr = jnp.maximum(fr, q)
+                tl = nr if tl is None else jnp.maximum(tl, nr)
+                th = fr if th is None else jnp.minimum(th, fr)
+            ok = (tl <= th) & (th >= 0.0) & (tl < bm)
+            ok &= (cpos + g * CGROUP) < num_clusters
             if __import__("os").environ.get("P3D_PROBE") == "cull":
-                useful = useful & (tmin > 3.0e37)
-            fcol = jnp.any(useful, axis=1, keepdims=True).astype(jnp.float32)
-            for k in range(KCH):  # bit-pack: 16 flags per SMEM int
-                bits_ref[r, k] = jnp.sum(fcol * pack_cols[k]).astype(jnp.int32)
+                ok &= tl > 3.0e37
+            fl = ok.astype(jnp.float32)  # (NCH, CGROUP)
+            packed = jax.lax.dot_general(
+                fl, packP, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (NCH, KCH) exact bit sums
+            for r in range(NCH):
+                for k in range(KCH):
+                    bits_ref[r, k] = packed[r, k].astype(jnp.int32)
 
         def orbits(k, _):  # row NCH = any-chunk flags, for cheap skips
             acc = bits_ref[0, k]
@@ -665,8 +724,10 @@ def cast_clusters_mxu(
     binit = jnp.where(hit_root, jnp.float32(max_dist), -jnp.inf)
     binit = binit.reshape(B, NCH, RCHUNK)
 
-    # per-block boxes in front-to-back order: (B, Cp, 8) rows of
-    # [lx,ly,lz,hx,hy,hz,0,0]; padding clusters get never-hit boxes
+    # per-block boxes in front-to-back order; padding clusters get never-hit
+    # boxes. Layout depends on the cull mode: (B, Cp, 8) rows of
+    # [lx,ly,lz,hx,hy,hz,0,0] for the per-ray cull, transposed (B, 8, Cp)
+    # planes for the interval cull (clusters in the lane dimension).
     orderp = jnp.concatenate(
         [order, jnp.full((B, Cp - C), C, jnp.int32)], axis=1
     )
@@ -674,7 +735,27 @@ def cast_clusters_mxu(
         [bvh.boxes, jnp.full((1, 6), 3.0e37, jnp.float32)], axis=0
     )
     bo = boxes_pad[orderp]  # (B, Cp, 6)
-    bo = jnp.concatenate([bo, jnp.zeros((B, Cp, 2), jnp.float32)], axis=2)
+    if CULL == "ray":
+        bo = jnp.concatenate([bo, jnp.zeros((B, Cp, 2), jnp.float32)], axis=2)
+        rint = jnp.zeros((B, NCH, 128), jnp.float32)
+    else:
+        bo = jnp.concatenate(
+            [bo, jnp.zeros((B, Cp, 2), jnp.float32)], axis=2
+        ).transpose(0, 2, 1)  # (B, 8, Cp)
+        # per-(block, chunk) intervals: origin box + clamped inverse-dir
+        # bounds, interleaved [oxlo,oxhi,...,ozhi, ivxlo,ivxhi,...,ivzhi]
+        ob = o.reshape(B, NCH, RCHUNK, 3)
+        db = d.reshape(B, NCH, RCHUNK, 3)
+        ivb = jnp.clip(1.0 / db, -1e18, 1e18)  # finite: no 0*inf NaNs
+        oint = jnp.stack(
+            [jnp.min(ob, axis=2), jnp.max(ob, axis=2)], axis=-1
+        ).reshape(B, NCH, 6)
+        ivint = jnp.stack(
+            [jnp.min(ivb, axis=2), jnp.max(ivb, axis=2)], axis=-1
+        ).reshape(B, NCH, 6)
+        rint = jnp.concatenate(
+            [oint, ivint, jnp.zeros((B, NCH, 116), jnp.float32)], axis=-1
+        )
 
     ray_spec = pl.BlockSpec((1, 16, MBLOCK), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -684,7 +765,10 @@ def cast_clusters_mxu(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, Cp, 8), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec(
+                (1, Cp, 8) if CULL == "ray" else (1, 8, Cp),
+                lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCH, 128), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
@@ -715,6 +799,7 @@ def cast_clusters_mxu(
             cluster_size=bvh.cluster_size,
             max_dist=float(max_dist),
             stream=stream,
+            cull=CULL,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -722,7 +807,7 @@ def cast_clusters_mxu(
             jax.ShapeDtypeStruct((B, NCH, RCHUNK), jnp.int32),
         ],
         interpret=interpret,
-    )(order, gbound, bound16, bo, bvh.wh, bvh.wl, rvt, rvh, rvl, binit)
+    )(order, gbound, bound16, bo, rint, bvh.wh, bvh.wl, rvt, rvh, rvl, binit)
     depth = jnp.where(jnp.isneginf(depth), max_dist, depth)
     return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]
 
