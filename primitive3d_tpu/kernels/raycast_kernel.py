@@ -452,6 +452,7 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, rint_ref,
                           jnp.exp2((pc % 16).astype(jnp.float32)), 0.0)
         cpos = jax.lax.broadcasted_iota(jnp.int32, (1, CGROUP), 1)
     tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, RCHUNK), 0)
+    im = jnp.int32(S - 1)  # in-cluster index mask: S low mantissa bits
     brow = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
 
     best0 = binit_ref[0]  # (NCH, RCHUNK): max_dist, or -inf off-scene
@@ -545,8 +546,7 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, rint_ref,
         jax.lax.fori_loop(0, KCH, orbits, 0)
 
         # --- process flagged (cluster, chunk) pairs -------------------------
-        def j_body(j, carry):
-            k, best, bidx = carry[0], carry[1], carry[2]
+        def proc_jk(j, k, carry):
 
             def proc(carry):
                 best, bidx = carry
@@ -578,19 +578,22 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, rint_ref,
                     sl = slice(r * RCHUNK, (r + 1) * RCHUNK)
                     rhc, rlc = rh[:, sl], rl[:, sl]
 
-                    def dot3(p):  # bf16x3 ~ f32-accurate product
-                        if stream:
-                            wh = whs_ref[:, p * S:(p + 1) * S]
-                            wl = wls_ref[:, p * S:(p + 1) * S]
-                        else:
-                            wh = wh_ref[c, :, p * S:(p + 1) * S]
-                            wl = wl_ref[c, :, p * S:(p + 1) * S]
-                        return dot(wh, rhc) + dot(wh, rlc) + dot(wl, rhc)
-
-                    s0 = dot3(0)  # (S, RCHUNK)
-                    s1 = dot3(1)
-                    s2 = dot3(2)
-                    num = dot3(3)
+                    # All four Plücker products in ONE wide matmul per bf16
+                    # pass (the cluster matrix is stored product-contiguous
+                    # as (16, 4S)): 3 matmul issues per visit instead of 12 —
+                    # the small 16-deep matmuls are latency-bound, so issue
+                    # count, not FLOPs, sets the visit cost.
+                    if stream:
+                        wh = whs_ref[:, :]
+                        wl = wls_ref[:, :]
+                    else:
+                        wh = wh_ref[c]
+                        wl = wl_ref[c]
+                    full = dot(wh, rhc) + dot(wh, rlc) + dot(wl, rhc)
+                    s0 = full[0 * S:1 * S]  # (S, RCHUNK)
+                    s1 = full[1 * S:2 * S]
+                    s2 = full[2 * S:3 * S]
+                    num = full[3 * S:4 * S]
                     # hit with t >= 0 iff the three side products AND the
                     # numerator share a sign (num agreeing with den's sign
                     # == s-sign is exactly t >= 0); den == 0 makes t inf or
@@ -607,13 +610,13 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, rint_ref,
                     # low 7 mantissa bits <- triangle index; int32 order ==
                     # float order for non-negative floats
                     ti = (jax.lax.bitcast_convert_type(tm, jnp.int32)
-                          & ~jnp.int32(127)) | tri_row
+                          & ~im) | tri_row
                     tsel = jnp.min(ti, axis=0, keepdims=True)  # (1, RCHUNK)
                     tb = jax.lax.bitcast_convert_type(
-                        tsel & ~jnp.int32(127), jnp.float32)
+                        tsel & ~im, jnp.float32)
                     bestr = best[r:r + 1]
                     updr = (brow == r) & (tb < bestr)
-                    bidx = jnp.where(updr, c * S + (tsel & 127), bidx)
+                    bidx = jnp.where(updr, c * S + (tsel & im), bidx)
                     best = jnp.where(updr, tb, best)
                     return best, bidx
 
@@ -624,11 +627,7 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, rint_ref,
                     )
                 return best, bidx
 
-            best, bidx = jax.lax.cond(
-                (bits_ref[NCH, k] >> j) & 1 != 0, proc, lambda cr: cr,
-                (best, bidx)
-            )
-            return k, best, bidx
+            return proc(carry)
 
         def k_cond(carry):
             k, best, bidx = carry
@@ -639,8 +638,32 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, rint_ref,
             k, best, bidx = carry
 
             def with_bits(carry):
-                _, best, bidx = jax.lax.fori_loop(
-                    0, 16, j_body, (k, carry[0], carry[1])
+                # Iterate only the SET bits of the run's any-chunk word:
+                # j = ctz(b) via popcount(b ^ (b-1)) - 1, clear, repeat. The
+                # loop condition is pure scalar arithmetic, so branch count
+                # scales with flagged clusters (typically a handful) instead
+                # of 16 conds per run — the untaken-branch pipeline bubbles
+                # were a measurable share of per-block time.
+                def sb_cond(st):
+                    return st[0] != 0
+
+                def sb_body(st):
+                    b, best, bidx = st
+                    # ctz of a 16-bit word by 4 branchless scalar selects
+                    # (Mosaic has no scalar popcount/clz)
+                    b1 = b & -b
+                    j = (
+                        jnp.where((b1 & 0xAAAA) != 0, 1, 0)
+                        | jnp.where((b1 & 0xCCCC) != 0, 2, 0)
+                        | jnp.where((b1 & 0xF0F0) != 0, 4, 0)
+                        | jnp.where((b1 & 0xFF00) != 0, 8, 0)
+                    )
+                    best, bidx = proc_jk(j, k, (best, bidx))
+                    return b & (b - 1), best, bidx
+
+                _, best, bidx = jax.lax.while_loop(
+                    sb_cond, sb_body,
+                    (bits_ref[NCH, k], carry[0], carry[1])
                 )
                 return best, bidx
 
@@ -649,9 +672,17 @@ def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, rint_ref,
             )
             return k + 1, best, bidx
 
-        _, best, bidx = jax.lax.while_loop(
-            k_cond, k_body, (jnp.int32(0), best, bidx)
-        )
+        if __import__("os").environ.get("P3D_KEXIT", "1") == "1":
+            # convergence early-exit per 16-cluster run (one vector
+            # all-reduce -> scalar sync per run)
+            _, best, bidx = jax.lax.while_loop(
+                k_cond, k_body, (jnp.int32(0), best, bidx)
+            )
+        else:
+            _, best, bidx = jax.lax.fori_loop(
+                0, KCH, lambda k, cr: k_body((k, cr[0], cr[1]))[1:],
+                (best, bidx)
+            )
         return g + 1, best, bidx
 
     def group_cond(carry):
