@@ -87,11 +87,19 @@ class MxuClusterBVH(NamedTuple):
     den = s0 + s1 + s2 with two vector adds instead of a fourth matmul
     set. Ray 16-vector layout: [rd, ro x rd, ro, 1, 0*6]. Same formulation
     as mxu_cast.py, reshaped so one cluster is one MXU weight matrix.
+
+    ``w2`` stacks the bf16 hi/lo split of w along the contraction dim as
+    [wh; wh; wl] (48, 4*S). Against a ray block stacked as r2 = [rh; rl; rh],
+    ONE K=48 matmul computes wh·rh + wh·rl + wl·rh — the same ~f32-accurate
+    3-term double-bf16 product as three separate K=16 matmuls, in one MXU
+    issue. The shallow matmuls are latency-bound, so issue count — not
+    FLOPs — sets the visit cost; K=48 also uses the systolic depth 3x
+    better. (Stacking as [wh; wl]·[rh; rl] would pair the blocks 1:1 and
+    compute only wh·rh + wl·rl — missing cross terms.)
     """
 
     boxes: Array  # (C, 6) float32 cluster AABBs
-    wh: Array  # (C, 16, 4*S) bfloat16: high half of the f32 matrix
-    wl: Array  # (C, 16, 4*S) bfloat16: residual, w - f32(wh)
+    w2: Array  # (C, 48, 4*S) bfloat16: [hi; hi; lo] along contraction
     prim_order: Array  # (C*S,) int32; -1 for padding slots
 
     @property
@@ -100,7 +108,7 @@ class MxuClusterBVH(NamedTuple):
 
     @property
     def cluster_size(self) -> int:
-        return self.wh.shape[2] // 4
+        return self.w2.shape[2] // 4
 
 
 @functools.partial(jax.jit, static_argnames=("cluster_size",))
@@ -137,12 +145,12 @@ def build_mxu_clusters(
         axis=1,
     )  # (C, 4, S, 16)
     w = cols.transpose(0, 3, 1, 2).reshape(C, 16, 4 * S)
-    # hi/lo bf16 split: the kernel multiplies with 3 single-pass bf16
-    # matmuls (wh*rh + wh*rl + wl*rh), ~f32 accuracy at 2x the speed of
-    # Mosaic's 6-pass HIGHEST f32 mode. reduce_precision (not a dtype cast
-    # round-trip, which XLA elides as excess precision, silently making
-    # wl == 0) guarantees the rounding happens.
+    # hi/lo bf16 split stacked on the contraction dim (see MxuClusterBVH.w2).
+    # reduce_precision (not a dtype cast round-trip, which XLA elides as
+    # excess precision, silently making wl == 0) guarantees the rounding
+    # happens.
     wh32 = jax.lax.reduce_precision(w, exponent_bits=8, mantissa_bits=7)
     wh = wh32.astype(jnp.bfloat16)
     wl = (w - wh32).astype(jnp.bfloat16)
-    return MxuClusterBVH(base.boxes, wh, wl, base.prim_order)
+    w2 = jnp.concatenate([wh, wh, wl], axis=1)  # (C, 48, 4*S)
+    return MxuClusterBVH(base.boxes, w2, base.prim_order)

@@ -4,7 +4,13 @@ The reference's knobs are compile-time or hard-coded: the ENABLE_OPTIX CMake
 define selecting the ray backend (reference: CMakeLists.txt:30-39), leaf size
 8 (ray_cast.cu:374), 1024 threads/block (Core/utils.h:19), 8^3 blocks
 (marching_cubes.cu:234). Here every knob is a runtime value with a measured
-default; pass a ``Config`` (or rely on module defaults) instead of rebuilding.
+default, consumed by the factories:
+
+    cfg = Config(raycast=RayCastConfig(backend="bruteforce"))
+    rc = create_raycaster(v, f, config=cfg.raycast)
+    res = marching_cubes_padded_cfg(grid, 0.0, config=cfg.marching_cubes)
+
+Explicit keyword arguments always override config fields.
 """
 from __future__ import annotations
 
@@ -14,10 +20,15 @@ from typing import Optional
 
 @dataclasses.dataclass(frozen=True)
 class RayCastConfig:
-    backend: str = "pallas"  # pallas | mxu | bvh | bruteforce
+    # "auto" resolves to the Pallas cluster kernel on TPU and the all-pairs
+    # MXU cast elsewhere (raycast.create_raycaster)
+    backend: str = "auto"  # auto | pallas | mxu | bvh | bruteforce
     max_dist: float = 10.0  # reference MAX_DIST parity (bvh.cu:13)
-    cluster_size: int = 128  # pallas leaf width (one VPU lane row)
-    mxu_chunk: int = 512  # triangles per MXU tile
+    cluster_size: int = 128  # pallas cluster width (one VPU lane row)
+    mxu_chunk: int = 512  # triangles per MXU tile (all-pairs backend)
+    # mesh-size tiers of the pallas backend (see PallasRayCaster)
+    mxu_max_tris: int = 32_000  # VMEM-resident Plücker tensor
+    mxu_stream_max_tris: int = 250_000  # HBM-streamed tier
 
 
 @dataclasses.dataclass(frozen=True)
@@ -26,7 +37,8 @@ class MarchingCubesConfig:
     # reference's count pass + readback); set capacities for jit pipelines.
     vert_capacity: Optional[int] = None
     face_capacity: Optional[int] = None
-    cumsum_block: int = 4096
+    vert_units: int = 0  # compaction unit budgets (0 = derived)
+    cube_units: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -364,337 +364,155 @@ def _order_and_bounds(bvh, o: Array, B: int, group: int = GROUP,
     return order, group_bound
 
 
-CGROUP = 128  # clusters culled per vectorized pass in the MXU kernel
-RCHUNK = int(__import__("os").environ.get("P3D_RCHUNK", "256"))
+RCHUNK = 256  # rays per chunk (flag/visit granularity)
 MBLOCK = 2048  # rays per program of the MXU kernel
 NCH = MBLOCK // RCHUNK
+RUN = 16  # clusters per run: flag bits per SMEM word / bound granularity
 
 
-CULL = __import__("os").environ.get("P3D_CULL", "interval")
-
-
-def _kernel_mxu(order_ref, bound_ref, bound16_ref, boxes_ref, rint_ref,
-                wh_ref, wl_ref, rvt_ref, rh_ref, rl_ref, binit_ref, depth_ref,
-                idx_ref, *scratch, num_clusters, cluster_size, max_dist,
-                stream, cull):
-    """MXU cluster caster: one matmul set per (cluster, 256-ray chunk).
+def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
+                *scratch, cluster_size, max_dist, stream):
+    """MXU cluster caster: one K=48 matmul per (cluster, 256-ray chunk).
 
     Layout rule: rays live in the LANE dimension everywhere — per-ray state
     (best t, best id) is a dense (NCH, RCHUNK) value and matmul results are
     (tris, rays). A first draft used (rays, 1) column vectors; each was 128
     nearly-empty vregs and loop-carry copies dwarfed the arithmetic.
 
-    Structure (every piece exists to remove a scalar- or memory-bound cost):
+    The kernel does NO traversal decisions at all (flat work-list
+    formulation): the host runs a conservative interval-arithmetic slab test
+    of every 256-ray chunk's ray bounds against every cluster AABB and
+    compacts the surviving (cluster, chunk) pairs into one flat per-block
+    list. The kernel is a single while loop over that list — zero
+    vector->scalar synchronizations, no flags, no convergence reductions.
 
-      * Culling is vectorized: a (128-clusters x rays) slab-test per group,
-        any-reduced per 256-ray chunk into (128, 1) flag columns that are
-        bit-packed (16 flags per int) into SMEM by masked reductions —
-        instead of per-cluster any-reduce -> SMEM round trips.
-      * Flags are per (cluster, chunk): with tile-coherent camera rays most
-        chunks of a block miss a given cluster's box, so chunk granularity
-        cuts ray-triangle pair tests vs whole-block granularity.
-      * A flagged (cluster, chunk) pair is tested by 5 matmul products
-        ``w[c].T (128,16) x rvt_chunk (16,256)`` — Plücker side products s0,
-        s1, s2, hit denominator rd.N, numerator (a-ro).N (bvh/clusters.py:
-        build_mxu_clusters) — instead of a 128-iteration scalar-broadcast
-        Möller-Trumbore loop. Each product is 3 single-pass bf16 matmuls
-        (hi/lo split: wh*rh + wh*rl + wl*rh, ~f32 accurate on the
-        unit-normalized columns) — half the passes of Mosaic's 6-pass
-        HIGHEST f32 mode. (128, 256) intermediates also spill far less VMEM
-        traffic than full-block (128, 1024) ones.
-      * Per-ray state for rays that miss the scene's root AABB is
-        pre-initialized to -inf by the caller: they never flag a cluster and
-        never hold back a convergence exit, so fully-empty blocks do zero
-        work and sky rays don't pin mixed blocks at max_dist.
-      * The winning triangle is selected with one reduction: the low 7
-        mantissa bits of each t are overwritten with the in-cluster triangle
-        index (monotone int32 compare == float compare for t >= 0), so no
-        second eq+where+min pass is needed; depth loses only 2^-17 relative.
+    Measured rationale (bunny 512x512, 208 clusters): the interval cull
+    alone leaves 44.7 pairs/block where full dynamic traversal (front-to-
+    back order + per-run `t < best` convergence, the reference's sorted-
+    stack analog, reference: src/prim3d/Geometry/bvh.cu:183-187) visits
+    35.5 — the cull is already tight, so pruning the last ~20% of visits
+    is not worth ANY per-run scalar round trips: three kernel generations
+    with in-kernel culls or convergence words all lost to this design.
 
-    Front-to-back cluster order with a conservative entry lower bound per
-    16-cluster run: traversal stops as soon as every live ray's best hit is
-    closer than the next run's bound (the analog of the reference's
-    sorted-children early-out, reference: src/prim3d/Geometry/bvh.cu:
-    183-187, at block granularity).
+    Per visit: ONE K=48 bf16 matmul (see MxuClusterBVH.w2) producing the
+    four Plücker products for all S triangles x RCHUNK rays, then a
+    sign-agreement hit test and a single packed min-reduction — the low
+    log2(S) mantissa bits of each t are overwritten with the in-cluster
+    triangle index (monotone int32 compare == float compare for t >= 0), so
+    no second eq+where+min pass is needed; depth loses only 2^-17 relative
+    (the caller refines winners to exact f32, raycast._finish_hits).
     """
-    blk = pl.program_id(0)
     S = cluster_size
     if stream:
-        bits_ref, whs_ref, wls_ref, sem_wh, sem_wl = scratch
-    else:
-        (bits_ref,) = scratch
-    rvt = rvt_ref[0]  # (16, MBLOCK)
-    rh = rh_ref[0]  # bf16 hi/lo split of rvt, computed host-side with
-    rl = rl_ref[0]  # reduce_precision (see build_mxu_clusters)
+        w2s_ref, sem_w2 = scratch
 
-    if cull == "ray":
-        # per chunk: (rox, roy, roz, ivx, ivy, ivz) as (1, RCHUNK)
-        ray_rows = []
-        for r in range(NCH):
-            sl = slice(r * RCHUNK, (r + 1) * RCHUNK)
-            ray_rows.append((
-                rvt[6:7, sl], rvt[7:8, sl], rvt[8:9, sl],
-                1.0 / rvt[0:1, sl], 1.0 / rvt[1:2, sl], 1.0 / rvt[2:3, sl],
-            ))
-        crow = jax.lax.broadcasted_iota(jnp.int32, (CGROUP, 1), 0)
-        pack_cols = [
-            jnp.where(crow // 16 == k,
-                      jnp.exp2((crow % 16).astype(jnp.float32)), 0.0)
-            for k in range(CGROUP // 16)
-        ]
-    else:
-        # bit-pack matrix for the interval cull: one (NCH, CGROUP) x
-        # (CGROUP, KCH) matmul packs all flags (exact: 0/1 times powers of
-        # two, f32 accumulate)
-        pc = jax.lax.broadcasted_iota(jnp.int32, (CGROUP, CGROUP // 16), 0)
-        pk = jax.lax.broadcasted_iota(jnp.int32, (CGROUP, CGROUP // 16), 1)
-        packP = jnp.where(pc // 16 == pk,
-                          jnp.exp2((pc % 16).astype(jnp.float32)), 0.0)
-        cpos = jax.lax.broadcasted_iota(jnp.int32, (1, CGROUP), 1)
     tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, RCHUNK), 0)
-    im = jnp.int32(S - 1)  # in-cluster index mask: S low mantissa bits
+    im = jnp.int32(S - 1)  # in-cluster index mask: log2(S) low mantissa bits
     brow = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
 
-    best0 = binit_ref[0]  # (NCH, RCHUNK): max_dist, or -inf off-scene
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    n = n_ref[0, 0, 0]
+    best0 = jnp.full((NCH, RCHUNK), max_dist, jnp.float32)
     idx0 = jnp.full((NCH, RCHUNK), -1, jnp.int32)
-    num_groups = (num_clusters + CGROUP - 1) // CGROUP
-    KCH = CGROUP // 16
 
-    def group_body(carry):
-        g, best, bidx = carry
+    def cond(st):
+        return st[0] < n
 
-        # --- vectorized cull: flags per (cluster, ray-chunk) ----------------
-        if cull == "ray":
-            box = boxes_ref[0, pl.ds(g * CGROUP, CGROUP), :]  # (CGROUP, 8)
-            lx, ly, lz = box[:, 0:1], box[:, 1:2], box[:, 2:3]
-            hx, hy, hz = box[:, 3:4], box[:, 4:5], box[:, 5:6]
-            for r in range(NCH):
-                rox, roy, roz, ivx, ivy, ivz = ray_rows[r]
-                tx0 = (lx - rox) * ivx
-                tx1 = (hx - rox) * ivx
-                ty0 = (ly - roy) * ivy
-                ty1 = (hy - roy) * ivy
-                tz0 = (lz - roz) * ivz
-                tz1 = (hz - roz) * ivz
-                tmin = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.minimum(tz0, tz1),
-                )
-                tmax = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.maximum(tz0, tz1),
-                )
-                useful = (tmin <= tmax) & (tmax >= 0.0) & (tmin < best[r:r + 1])
-                if __import__("os").environ.get("P3D_PROBE") == "cull":
-                    useful = useful & (tmin > 3.0e37)
-                fcol = jnp.any(useful, axis=1, keepdims=True).astype(jnp.float32)
-                for k in range(KCH):  # bit-pack: 16 flags per SMEM int
-                    bits_ref[r, k] = jnp.sum(fcol * pack_cols[k]).astype(
-                        jnp.int32)
+    def body(st):
+        e, cprev, best, bidx = st
+        p = pairs_ref[0, 0, e]
+        c = p >> 3
+        r = p & 7
+        if stream:
+            # pairs are cluster-major: re-DMA only when the cluster changes
+            @pl.when(c != cprev)
+            def _():
+                cp_w2 = pltpu.make_async_copy(w2_ref.at[c], w2s_ref, sem_w2)
+                cp_w2.start()
+                cp_w2.wait()
+
+            w2c = w2s_ref[:, :]
         else:
-            # Conservative interval slab test at (cluster x CHUNK)
-            # granularity: the chunk's origin box and inverse-direction
-            # intervals (host-computed, rint_ref) against each cluster plane.
-            # All 8 endpoint products bound the near/far crossing times, so a
-            # flag here is a superset of the exact per-ray flags — same
-            # results, ~NCH*RCHUNK/8 times less cull arithmetic (ops on
-            # (NCH, CGROUP) tiles instead of (CGROUP, RCHUNK) per chunk).
-            bm = jnp.max(best, axis=1, keepdims=True)  # (NCH, 1) loosest best
-            gsl = pl.ds(g * CGROUP, CGROUP)
-            tl = None
-            th = None
-            for a in range(3):
-                L0 = boxes_ref[0, a:a + 1, gsl]       # (1, C) lo plane
-                L1 = boxes_ref[0, a + 3:a + 4, gsl]   # (1, C) hi plane
-                olo = rint_ref[0, :, 2 * a:2 * a + 1]       # (NCH, 1)
-                ohi = rint_ref[0, :, 2 * a + 1:2 * a + 2]
-                ivl = rint_ref[0, :, 6 + 2 * a:7 + 2 * a]
-                ivh = rint_ref[0, :, 7 + 2 * a:8 + 2 * a]
-                d00 = L0 - ohi   # (NCH, C)
-                d01 = L0 - olo
-                d10 = L1 - ohi
-                d11 = L1 - olo
-                prods = (d00 * ivl, d00 * ivh, d01 * ivl, d01 * ivh,
-                         d10 * ivl, d10 * ivh, d11 * ivl, d11 * ivh)
-                nr = prods[0]
-                fr = prods[0]
-                for q in prods[1:]:
-                    nr = jnp.minimum(nr, q)
-                    fr = jnp.maximum(fr, q)
-                tl = nr if tl is None else jnp.maximum(tl, nr)
-                th = fr if th is None else jnp.minimum(th, fr)
-            ok = (tl <= th) & (th >= 0.0) & (tl < bm)
-            ok &= (cpos + g * CGROUP) < num_clusters
-            if __import__("os").environ.get("P3D_PROBE") == "cull":
-                ok &= tl > 3.0e37
-            fl = ok.astype(jnp.float32)  # (NCH, CGROUP)
-            packed = jax.lax.dot_general(
-                fl, packP, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (NCH, KCH) exact bit sums
-            for r in range(NCH):
-                for k in range(KCH):
-                    bits_ref[r, k] = packed[r, k].astype(jnp.int32)
+            w2c = w2_ref[c]
+        # r2_ref: (1, NCH, 48, RCHUNK) bf16 [hi; lo; hi] per chunk
+        # (host-side reduce_precision; see build_mxu_clusters). Indexed as
+        # a ref: dynamic_slice of a loaded value does not lower.
+        full = dot(w2c, r2_ref[0, r])  # (4S, RCHUNK)
+        s0 = full[0 * S:1 * S]
+        s1 = full[1 * S:2 * S]
+        s2 = full[2 * S:3 * S]
+        num = full[3 * S:4 * S]
+        # hit with t >= 0 iff the three side products AND the numerator
+        # share a sign (num agreeing with den's sign == s-sign is exactly
+        # t >= 0); den == 0 makes t inf or nan, whose bit patterns lose the
+        # integer min below
+        m4 = jnp.minimum(jnp.minimum(s0, s1), jnp.minimum(s2, num))
+        M4 = jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, num))
+        ok = (m4 >= 0) | (M4 <= 0)
+        # exact Plücker identity (see MxuClusterBVH): the three unnormalized
+        # side products sum to rd.N
+        den = (s0 + s1) + s2
+        t = num / den
+        # abs: a num == -0 edge-on case yields t = -0.0, whose bit pattern
+        # is INT_MIN and would poison the packed integer min
+        tm = jnp.abs(jnp.where(ok, t, 3.0e38))
+        # low log2(S) mantissa bits <- triangle index; int32 order == float
+        # order for non-negative floats
+        ti = (jax.lax.bitcast_convert_type(tm, jnp.int32) & ~im) | tri_row
+        tsel = jnp.min(ti, axis=0, keepdims=True)  # (1, RCHUNK)
+        tb = jax.lax.bitcast_convert_type(tsel & ~im, jnp.float32)
+        # tb broadcasts over rows; the row mask keeps the update on chunk r
+        updr = (brow == r) & (tb < best)
+        bidx = jnp.where(updr, c * S + (tsel & im), bidx)
+        best = jnp.where(updr, tb, best)
+        return e + 1, c, best, bidx
 
-        def orbits(k, _):  # row NCH = any-chunk flags, for cheap skips
-            acc = bits_ref[0, k]
-            for r in range(1, NCH):
-                acc = acc | bits_ref[r, k]
-            bits_ref[NCH, k] = acc
-            return 0
-
-        jax.lax.fori_loop(0, KCH, orbits, 0)
-
-        # --- process flagged (cluster, chunk) pairs -------------------------
-        def proc_jk(j, k, carry):
-
-            def proc(carry):
-                best, bidx = carry
-                e = g * CGROUP + k * 16 + j
-                c = order_ref[blk, e]
-                bs = tuple((bits_ref[r, k] >> j) & 1 for r in range(NCH))
-                dot = functools.partial(
-                    jax.lax.dot_general,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if stream:
-                    # w lives in HBM: DMA this cluster's matrices into VMEM
-                    # scratch before the matmuls (~40 KB, amortised over up
-                    # to NCH chunk visits)
-                    cp_wh = pltpu.make_async_copy(
-                        wh_ref.at[c], whs_ref, sem_wh
-                    )
-                    cp_wl = pltpu.make_async_copy(
-                        wl_ref.at[c], wls_ref, sem_wl
-                    )
-                    cp_wh.start()
-                    cp_wl.start()
-                    cp_wh.wait()
-                    cp_wl.wait()
-
-                def visit(r, carry):
-                    best, bidx = carry
-                    sl = slice(r * RCHUNK, (r + 1) * RCHUNK)
-                    rhc, rlc = rh[:, sl], rl[:, sl]
-
-                    # All four Plücker products in ONE wide matmul per bf16
-                    # pass (the cluster matrix is stored product-contiguous
-                    # as (16, 4S)): 3 matmul issues per visit instead of 12 —
-                    # the small 16-deep matmuls are latency-bound, so issue
-                    # count, not FLOPs, sets the visit cost.
-                    if stream:
-                        wh = whs_ref[:, :]
-                        wl = wls_ref[:, :]
-                    else:
-                        wh = wh_ref[c]
-                        wl = wl_ref[c]
-                    full = dot(wh, rhc) + dot(wh, rlc) + dot(wl, rhc)
-                    s0 = full[0 * S:1 * S]  # (S, RCHUNK)
-                    s1 = full[1 * S:2 * S]
-                    s2 = full[2 * S:3 * S]
-                    num = full[3 * S:4 * S]
-                    # hit with t >= 0 iff the three side products AND the
-                    # numerator share a sign (num agreeing with den's sign
-                    # == s-sign is exactly t >= 0); den == 0 makes t inf or
-                    # nan, whose bit patterns lose the integer min below
-                    m4 = jnp.minimum(jnp.minimum(s0, s1), jnp.minimum(s2, num))
-                    M4 = jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, num))
-                    ok = (m4 >= 0) | (M4 <= 0)
-
-                    # exact Plücker identity (see MxuClusterBVH): the three
-                    # unnormalized side products sum to rd.N
-                    den = (s0 + s1) + s2
-                    t = num / den
-                    tm = jnp.where(ok, t, 3.0e38)
-                    # low 7 mantissa bits <- triangle index; int32 order ==
-                    # float order for non-negative floats
-                    ti = (jax.lax.bitcast_convert_type(tm, jnp.int32)
-                          & ~im) | tri_row
-                    tsel = jnp.min(ti, axis=0, keepdims=True)  # (1, RCHUNK)
-                    tb = jax.lax.bitcast_convert_type(
-                        tsel & ~im, jnp.float32)
-                    bestr = best[r:r + 1]
-                    updr = (brow == r) & (tb < bestr)
-                    bidx = jnp.where(updr, c * S + (tsel & im), bidx)
-                    best = jnp.where(updr, tb, best)
-                    return best, bidx
-
-                for r in range(NCH):
-                    best, bidx = jax.lax.cond(
-                        bs[r] != 0, functools.partial(visit, r),
-                        lambda cr: cr, (best, bidx)
-                    )
-                return best, bidx
-
-            return proc(carry)
-
-        def k_cond(carry):
-            k, best, bidx = carry
-            nb = bound16_ref[blk, g * KCH + k]
-            return (k < KCH) & jnp.logical_not(jnp.all(best <= nb))
-
-        def k_body(carry):
-            k, best, bidx = carry
-
-            def with_bits(carry):
-                # Iterate only the SET bits of the run's any-chunk word:
-                # j = ctz(b) via popcount(b ^ (b-1)) - 1, clear, repeat. The
-                # loop condition is pure scalar arithmetic, so branch count
-                # scales with flagged clusters (typically a handful) instead
-                # of 16 conds per run — the untaken-branch pipeline bubbles
-                # were a measurable share of per-block time.
-                def sb_cond(st):
-                    return st[0] != 0
-
-                def sb_body(st):
-                    b, best, bidx = st
-                    # ctz of a 16-bit word by 4 branchless scalar selects
-                    # (Mosaic has no scalar popcount/clz)
-                    b1 = b & -b
-                    j = (
-                        jnp.where((b1 & 0xAAAA) != 0, 1, 0)
-                        | jnp.where((b1 & 0xCCCC) != 0, 2, 0)
-                        | jnp.where((b1 & 0xF0F0) != 0, 4, 0)
-                        | jnp.where((b1 & 0xFF00) != 0, 8, 0)
-                    )
-                    best, bidx = proc_jk(j, k, (best, bidx))
-                    return b & (b - 1), best, bidx
-
-                _, best, bidx = jax.lax.while_loop(
-                    sb_cond, sb_body,
-                    (bits_ref[NCH, k], carry[0], carry[1])
-                )
-                return best, bidx
-
-            best, bidx = jax.lax.cond(
-                bits_ref[NCH, k] != 0, with_bits, lambda cr: cr, (best, bidx)
-            )
-            return k + 1, best, bidx
-
-        if __import__("os").environ.get("P3D_KEXIT", "1") == "1":
-            # convergence early-exit per 16-cluster run (one vector
-            # all-reduce -> scalar sync per run)
-            _, best, bidx = jax.lax.while_loop(
-                k_cond, k_body, (jnp.int32(0), best, bidx)
-            )
-        else:
-            _, best, bidx = jax.lax.fori_loop(
-                0, KCH, lambda k, cr: k_body((k, cr[0], cr[1]))[1:],
-                (best, bidx)
-            )
-        return g + 1, best, bidx
-
-    def group_cond(carry):
-        g, best, bidx = carry
-        nb = bound_ref[blk, jnp.minimum(g, bound_ref.shape[1] - 1)]
-        return (g < num_groups) & jnp.logical_not(jnp.all(best <= nb))
-
-    _, best, bidx = jax.lax.while_loop(
-        group_cond, group_body, (jnp.int32(0), best0, idx0)
+    _, _, best, bidx = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(-1), best0, idx0)
     )
     depth_ref[0] = best
     idx_ref[0] = bidx
+
+
+def _interval_cull(boxes, rint, max_dist):
+    """Conservative slab test of per-chunk ray intervals vs cluster AABBs.
+
+    boxes: (C, 6) cluster boxes; rint: (B, NCH, 12) per-chunk origin box +
+    clamped inverse-direction bounds.
+
+    Returns ok: (B, NCH, C) flags. All 8 endpoint products bound each ray's
+    near/far crossing times, so a flag is a superset of the exact per-ray
+    flags — measured within 0.3% of exact on camera blocks, at ~RCHUNK/8
+    times less arithmetic.
+    """
+    tl = None
+    th = None
+    for a in range(3):
+        L0 = boxes[None, None, :, a]  # (1, 1, C) lo plane
+        L1 = boxes[None, None, :, a + 3]  # hi plane
+        olo = rint[:, :, 2 * a, None]  # (B, NCH, 1)
+        ohi = rint[:, :, 2 * a + 1, None]
+        ivl = rint[:, :, 6 + 2 * a, None]
+        ivh = rint[:, :, 7 + 2 * a, None]
+        d00 = L0 - ohi  # (B, NCH, C)
+        d01 = L0 - olo
+        d10 = L1 - ohi
+        d11 = L1 - olo
+        prods = (d00 * ivl, d00 * ivh, d01 * ivl, d01 * ivh,
+                 d10 * ivl, d10 * ivh, d11 * ivl, d11 * ivh)
+        nr = prods[0]
+        fr = prods[0]
+        for q in prods[1:]:
+            nr = jnp.minimum(nr, q)
+            fr = jnp.maximum(fr, q)
+        tl = nr if tl is None else jnp.maximum(tl, nr)
+        th = fr if th is None else jnp.minimum(th, fr)
+    return (tl <= th) & (th >= 0.0) & (tl < max_dist)
 
 
 @functools.partial(
@@ -712,10 +530,9 @@ def cast_clusters_mxu(
 
     ``bvh`` is a :class:`~primitive3d_tpu.bvh.clusters.MxuClusterBVH`. Same
     result convention as :func:`cast_clusters`. By default the whole Plücker
-    tensor lives in VMEM (320 B/triangle) — meshes up to ~40k triangles.
-    ``stream=True`` keeps it in HBM and DMAs each visited cluster's matrices
-    into VMEM scratch, raising the cap to ~250k triangles (the per-block
-    cluster order in SMEM becomes the next limit); beyond that use
+    tensor lives in VMEM (384 B/triangle) — meshes up to ~32k triangles.
+    ``stream=True`` keeps it in HBM and DMAs each visited cluster's matrix
+    into VMEM scratch, raising the cap to ~250k triangles; beyond that use
     :func:`cast_clusters`.
     """
     R = origins.shape[0]
@@ -730,116 +547,79 @@ def cast_clusters_mxu(
     rvec = jnp.concatenate(
         [d, m, o, ones, jnp.zeros((Rp, 6), jnp.float32)], axis=1
     )  # (Rp, 16)
-    rvt = rvec.reshape(B, MBLOCK, 16).transpose(0, 2, 1)  # (B, 16, RB)
+    rvt = rvec.reshape(B, NCH, RCHUNK, 16).transpose(0, 1, 3, 2)
     rvh32 = jax.lax.reduce_precision(rvt, exponent_bits=8, mantissa_bits=7)
     rvh = rvh32.astype(jnp.bfloat16)
     rvl = (rvt - rvh32).astype(jnp.bfloat16)
+    r2 = jnp.concatenate(
+        [rvh, rvl, rvh], axis=2
+    )  # (B, NCH, 48, RCHUNK) [hi;lo;hi]
 
     C = bvh.num_clusters
-    G = (C + CGROUP - 1) // CGROUP
-    Cp = G * CGROUP
-    order, gbound, bound16 = _order_and_bounds(
-        bvh, o, B, group=CGROUP, fine=16, block=MBLOCK
-    )
 
-    # rays that miss the scene's root AABB start at best = -inf: never flag
-    # a cluster, never block a convergence exit (kernel docstring)
-    root_lo = jnp.min(bvh.boxes[:, :3], axis=0)
-    root_hi = jnp.max(bvh.boxes[:, 3:], axis=0)
-    iv = 1.0 / d
-    t0 = (root_lo[None] - o) * iv
-    t1 = (root_hi[None] - o) * iv
-    tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
-    tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
-    hit_root = (tmin <= tmax) & (tmax >= 0.0) & (tmin < max_dist)
-    binit = jnp.where(hit_root, jnp.float32(max_dist), -jnp.inf)
-    binit = binit.reshape(B, NCH, RCHUNK)
+    # per-(block, chunk) ray intervals: origin box + clamped inverse-dir
+    # bounds, interleaved [oxlo,oxhi,...,ozhi, ivxlo,ivxhi,...,ivzhi]
+    ob = o.reshape(B, NCH, RCHUNK, 3)
+    db = d.reshape(B, NCH, RCHUNK, 3)
+    ivb = jnp.clip(1.0 / db, -1e18, 1e18)  # finite: no 0*inf NaNs
+    oint = jnp.stack(
+        [jnp.min(ob, axis=2), jnp.max(ob, axis=2)], axis=-1
+    ).reshape(B, NCH, 6)
+    ivint = jnp.stack(
+        [jnp.min(ivb, axis=2), jnp.max(ivb, axis=2)], axis=-1
+    ).reshape(B, NCH, 6)
+    rint = jnp.concatenate([oint, ivint], axis=-1)  # (B, NCH, 12)
 
-    # per-block boxes in front-to-back order; padding clusters get never-hit
-    # boxes. Layout depends on the cull mode: (B, Cp, 8) rows of
-    # [lx,ly,lz,hx,hy,hz,0,0] for the per-ray cull, transposed (B, 8, Cp)
-    # planes for the interval cull (clusters in the lane dimension).
-    orderp = jnp.concatenate(
-        [order, jnp.full((B, Cp - C), C, jnp.int32)], axis=1
+    # flat work list: compact flagged (cluster, chunk) pairs cluster-major
+    # (so the streaming tier re-DMAs w2[c] only on cluster changes)
+    ok = _interval_cull(bvh.boxes, rint, float(max_dist))  # (B, NCH, C)
+    okt = ok.transpose(0, 2, 1).reshape(B, C * NCH)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (B, C * NCH), 1)
+    # stable sort: flagged pairs to the front, preserving cluster-major order
+    _, pairs = jax.lax.sort(
+        (jnp.where(okt, 0, 1).astype(jnp.int32), pid), dimension=1,
+        num_keys=1, is_stable=True,
     )
-    boxes_pad = jnp.concatenate(
-        [bvh.boxes, jnp.full((1, 6), 3.0e37, jnp.float32)], axis=0
-    )
-    bo = boxes_pad[orderp]  # (B, Cp, 6)
-    if CULL == "ray":
-        bo = jnp.concatenate([bo, jnp.zeros((B, Cp, 2), jnp.float32)], axis=2)
-        rint = jnp.zeros((B, NCH, 128), jnp.float32)
-    else:
-        bo = jnp.concatenate(
-            [bo, jnp.zeros((B, Cp, 2), jnp.float32)], axis=2
-        ).transpose(0, 2, 1)  # (B, 8, Cp)
-        # per-(block, chunk) intervals: origin box + clamped inverse-dir
-        # bounds, interleaved [oxlo,oxhi,...,ozhi, ivxlo,ivxhi,...,ivzhi]
-        ob = o.reshape(B, NCH, RCHUNK, 3)
-        db = d.reshape(B, NCH, RCHUNK, 3)
-        ivb = jnp.clip(1.0 / db, -1e18, 1e18)  # finite: no 0*inf NaNs
-        oint = jnp.stack(
-            [jnp.min(ob, axis=2), jnp.max(ob, axis=2)], axis=-1
-        ).reshape(B, NCH, 6)
-        ivint = jnp.stack(
-            [jnp.min(ivb, axis=2), jnp.max(ivb, axis=2)], axis=-1
-        ).reshape(B, NCH, 6)
-        rint = jnp.concatenate(
-            [oint, ivint, jnp.zeros((B, NCH, 116), jnp.float32)], axis=-1
-        )
+    n = jnp.sum(okt, axis=1).astype(jnp.int32)[:, None, None]  # (B, 1, 1)
 
-    ray_spec = pl.BlockSpec((1, 16, MBLOCK), lambda i, *_: (i, 0, 0),
+    r2_spec = pl.BlockSpec((1, NCH, 48, RCHUNK), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, NCH, RCHUNK), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, NCH, RCHUNK), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+    grid_spec = pl.GridSpec(
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(
-                (1, Cp, 8) if CULL == "ray" else (1, 8, Cp),
-                lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NCH, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # n
+            pl.BlockSpec((1, 1, C * NCH), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # pairs
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
-            ray_spec,
-            ray_spec,
-            ray_spec,
-            out_spec,  # binit
+            r2_spec,
         ],
         out_specs=[out_spec, out_spec],
         scratch_shapes=(
-            [pltpu.SMEM((NCH + 1, CGROUP // 16), jnp.int32)]
-            + (
-                [
-                    pltpu.VMEM((16, 4 * bvh.cluster_size), jnp.bfloat16),
-                    pltpu.VMEM((16, 4 * bvh.cluster_size), jnp.bfloat16),
-                    pltpu.SemaphoreType.DMA,
-                    pltpu.SemaphoreType.DMA,
-                ]
-                if stream
-                else []
-            )
+            [
+                pltpu.VMEM((48, 4 * bvh.cluster_size), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA,
+            ]
+            if stream
+            else []
         ),
     )
+    kernel = functools.partial(
+        _kernel_mxu, cluster_size=bvh.cluster_size,
+        max_dist=float(max_dist), stream=stream,
+    )
+
     depth, idx = pl.pallas_call(
-        functools.partial(
-            _kernel_mxu,
-            num_clusters=C,
-            cluster_size=bvh.cluster_size,
-            max_dist=float(max_dist),
-            stream=stream,
-            cull=CULL,
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, NCH, RCHUNK), jnp.float32),
             jax.ShapeDtypeStruct((B, NCH, RCHUNK), jnp.int32),
         ],
         interpret=interpret,
-    )(order, gbound, bound16, bo, rint, bvh.wh, bvh.wl, rvt, rvh, rvl, binit)
-    depth = jnp.where(jnp.isneginf(depth), max_dist, depth)
+    )(n, pairs[:, None], bvh.w2, r2)
     return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]
 
 

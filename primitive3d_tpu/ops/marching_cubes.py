@@ -598,19 +598,30 @@ def marching_cubes_padded(
     density: Array,
     thresh: Union[float, Array],
     *,
-    vert_capacity: int,
-    face_capacity: int,
+    vert_capacity: Optional[int] = None,
+    face_capacity: Optional[int] = None,
     lower=None,
     upper=None,
     vert_units: int = 0,
     cube_units: int = 0,
+    config=None,
 ) -> MCResult:
     """Jittable, differentiable marching cubes with static-capacity outputs.
 
     This is the building block for sharded / fused pipelines: fixed shapes in,
     fixed shapes out, no host synchronisation. Use :func:`marching_cubes` for
-    an eager exact-size API mirroring the reference.
+    an eager exact-size API mirroring the reference. Capacities may come from
+    a :class:`core.config.MarchingCubesConfig` via ``config``; explicit
+    arguments override it.
     """
+    if config is not None:
+        vert_capacity = vert_capacity or config.vert_capacity
+        face_capacity = face_capacity or config.face_capacity
+        vert_units = vert_units or config.vert_units
+        cube_units = cube_units or config.cube_units
+    if vert_capacity is None or face_capacity is None:
+        raise ValueError(
+            "vert_capacity/face_capacity required (directly or via config)")
     density = jnp.asarray(density, jnp.float32)
     if density.ndim != 3 or min(density.shape) < 2:
         raise ValueError(

@@ -95,6 +95,30 @@ def _cast_bruteforce(
     return RayHits(best_t, normals, best_i)
 
 
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def _finish_hits(triangles, prim_order, depth_k, sidx, o, d,
+                 max_dist: float) -> RayHits:
+    """Map kernel output (depth, sorted-index) to final RayHits buffers.
+
+    Includes the exact f32 refine of each winning triangle: the cluster
+    kernel's depth carries a 2^-17 packed-index quantisation and double-bf16
+    product noise; recomputing the winner's t with the same arithmetic as
+    the brute-force oracle makes depth bit-comparable to it wherever the
+    winner agrees (BASELINE.md: depth buffers allclose vs goldens).
+    """
+    hit = sidx >= 0
+    safe = jnp.maximum(sidx, 0)
+    face_id = jnp.where(hit, prim_order[safe], -1)
+    tri_w = triangles[jnp.maximum(face_id, 0)]
+    t_exact = tri_ops.ray_intersect(o, d, tri_w)
+    # if the exact test disagrees on a grazing winner, keep the kernel depth
+    depth = jnp.where(hit & (t_exact < max_dist), t_exact, depth_k)
+    depth = jnp.where(hit, depth, jnp.float32(max_dist))
+    n = tri_ops.normals(tri_w)
+    normals = jnp.where(hit[:, None], n, 0.0)
+    return RayHits(depth, normals, jnp.where(hit, face_id, -1))
+
+
 class RayCaster:
     """Ray caster over a fixed triangle mesh (build once, cast many)."""
 
@@ -146,23 +170,31 @@ class MxuRayCaster(RayCaster):
 class PallasRayCaster(RayCaster):
     """Two-level cluster caster as a Pallas TPU kernel (the fast path).
 
-    Meshes whose Plücker tensor fits VMEM (~40k triangles) use the MXU
-    cluster kernel (one matmul set per cluster/ray-chunk pair); larger
-    meshes use the scalar-broadcast cluster kernel. Falls back to
-    interpreter mode off-TPU (tests); see kernels/raycast_kernel.py.
+    Meshes whose Plücker tensor fits VMEM (~32k triangles at 384 B/triangle)
+    use the MXU cluster kernel (one matmul per cluster/ray-chunk pair);
+    larger meshes stream the tensor from HBM; beyond the stream cap the
+    scalar-broadcast cluster kernel takes over. Falls back to interpreter
+    mode off-TPU (tests); see kernels/raycast_kernel.py.
     """
 
-    MXU_MAX_TRIS = 40_000  # VMEM-resident w tensor (320 B/triangle)
-    MXU_STREAM_MAX_TRIS = 250_000  # HBM-streamed w; SMEM order is the limit
+    MXU_MAX_TRIS = 32_000  # VMEM-resident w2 tensor (384 B/triangle)
+    MXU_STREAM_MAX_TRIS = 250_000  # HBM-streamed w2; SMEM order is the limit
 
-    def __init__(self, vertices, faces, max_dist=DEFAULT_MAX_DIST):
+    def __init__(self, vertices, faces, max_dist=DEFAULT_MAX_DIST,
+                 mxu_max_tris=None, mxu_stream_max_tris=None,
+                 cluster_size=None):
         super().__init__(vertices, faces, max_dist)
-        from .bvh.clusters import build_clusters, build_mxu_clusters
+        from .bvh.clusters import (CLUSTER_SIZE, build_clusters,
+                                   build_mxu_clusters)
 
-        self.use_mxu = self.num_triangles <= self.MXU_STREAM_MAX_TRIS
-        self.mxu_stream = self.num_triangles > self.MXU_MAX_TRIS
+        cap = mxu_max_tris or self.MXU_MAX_TRIS
+        scap = mxu_stream_max_tris or self.MXU_STREAM_MAX_TRIS
+        cs = cluster_size or CLUSTER_SIZE
+        self.use_mxu = self.num_triangles <= scap
+        self.mxu_stream = self.num_triangles > cap
         build = build_mxu_clusters if self.use_mxu else build_clusters
-        self.cbvh = jax.block_until_ready(build(self.triangles))
+        self.cbvh = jax.block_until_ready(
+            build(self.triangles, cluster_size=cs))
 
     def cast(self, origins, directions) -> RayHits:
         from .kernels.raycast_kernel import cast_clusters, cast_clusters_mxu
@@ -179,12 +211,10 @@ class PallasRayCaster(RayCaster):
             depth, sidx = cast_clusters(
                 self.cbvh, o, d, max_dist=self.max_dist, interpret=interpret
             )
-        hit = sidx >= 0
-        safe = jnp.maximum(sidx, 0)
-        face_id = jnp.where(hit, self.cbvh.prim_order[safe], -1)
-        n = tri_ops.normals(self.triangles[jnp.maximum(face_id, 0)])
-        normals = jnp.where(hit[:, None], n, 0.0)
-        return RayHits(depth, normals, face_id)
+        return _finish_hits(
+            self.triangles, self.cbvh.prim_order, depth, sidx, o, d,
+            max_dist=self.max_dist,
+        )
 
 
 class BruteForceRayCaster(RayCaster):
@@ -211,20 +241,35 @@ def available_backends() -> tuple:
 def create_raycaster(
     vertices,
     faces,
-    backend: str = "auto",
-    max_dist: float = DEFAULT_MAX_DIST,
+    backend: Optional[str] = None,
+    max_dist: Optional[float] = None,
+    config=None,
 ) -> RayCaster:
     """Build a ray caster (factory, reference: ray_cast.cu:437-450).
 
-    backend: "mxu" (exact all-pairs on the systolic array, the default),
-    "bvh" (LBVH traversal), "bruteforce" (VPU all-pairs oracle), or "auto".
+    backend: "pallas" (the MXU cluster kernel, the TPU fast path), "mxu"
+    (exact all-pairs on the systolic array), "bvh" (LBVH traversal),
+    "bruteforce" (VPU all-pairs oracle), or "auto" (pallas on TPU, mxu
+    elsewhere). ``config`` is a :class:`core.config.RayCastConfig` supplying
+    defaults; explicit arguments override it.
     """
+    from .core.config import RayCastConfig
+
+    cfg = config or RayCastConfig()
+    backend = backend or cfg.backend
+    max_dist = cfg.max_dist if max_dist is None else max_dist
     if backend == "auto":
-        backend = "mxu"
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        backend = "pallas" if on_tpu else "mxu"
     if backend == "mxu":
-        return MxuRayCaster(vertices, faces, max_dist)
+        return MxuRayCaster(vertices, faces, max_dist, chunk=cfg.mxu_chunk)
     if backend == "pallas":
-        return PallasRayCaster(vertices, faces, max_dist)
+        return PallasRayCaster(
+            vertices, faces, max_dist,
+            mxu_max_tris=cfg.mxu_max_tris,
+            mxu_stream_max_tris=cfg.mxu_stream_max_tris,
+            cluster_size=cfg.cluster_size,
+        )
     if backend == "bruteforce":
         return BruteForceRayCaster(vertices, faces, max_dist)
     if backend == "bvh":

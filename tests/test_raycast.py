@@ -130,6 +130,11 @@ class TestPallasVsBruteForce:
         )
         same = np.asarray(pk.face_id) == np.asarray(bf.face_id)
         assert same.mean() > 0.99
+        # the exact f32 refine makes agreeing winners' depths bit-comparable
+        np.testing.assert_allclose(
+            np.asarray(pk.depth)[same], np.asarray(bf.depth)[same],
+            rtol=1e-6, atol=1e-6,
+        )
         np.testing.assert_allclose(
             np.asarray(pk.normals)[same],
             np.asarray(bf.normals)[same],
@@ -194,11 +199,14 @@ class TestSemantics:
         assert int(np.asarray(far.face_id)[0]) >= 0
 
     def test_auto_backend_and_invoke_alias(self):
-        from primitive3d_tpu.raycast import MxuRayCaster
+        import jax
+        from primitive3d_tpu.raycast import MxuRayCaster, PallasRayCaster
 
         v, f = icosphere(1)
-        rc = create_raycaster(v, f)  # auto -> MXU
-        assert isinstance(rc, MxuRayCaster)
+        rc = create_raycaster(v, f)  # auto: pallas on TPU, mxu elsewhere
+        want = (PallasRayCaster
+                if jax.default_backend() in ("tpu", "axon") else MxuRayCaster)
+        assert isinstance(rc, want)
         o = np.zeros((4, 3), np.float32)
         d = np.tile(np.array([1.0, 0, 0], np.float32), (4, 1))
         h1 = rc.cast(o, d)
@@ -301,6 +309,11 @@ class TestMxuClusterKernel:
         )
         same = np.asarray(pk.face_id) == np.asarray(bf.face_id)
         assert same.mean() > 0.99
+        # exact f32 refine: agreeing winners bit-comparable to the oracle
+        np.testing.assert_allclose(
+            np.asarray(pk.depth)[same], np.asarray(bf.depth)[same],
+            rtol=1e-6, atol=1e-6,
+        )
         np.testing.assert_allclose(
             np.asarray(pk.normals)[same], np.asarray(bf.normals)[same],
             atol=1e-4,
@@ -397,3 +410,36 @@ class TestPallasOrderedVariant:
         # under a different cluster visit order
         same = np.asarray(i1) == np.asarray(i0)
         assert same.mean() > 0.99
+
+
+class TestConfig:
+    def test_caster_from_config(self):
+        from primitive3d_tpu.core.config import Config, RayCastConfig
+        from primitive3d_tpu.raycast import (BruteForceRayCaster,
+                                             PallasRayCaster)
+
+        v, f = icosphere(1)
+        cfg = Config(raycast=RayCastConfig(backend="bruteforce", max_dist=3.0))
+        rc = create_raycaster(v, f, config=cfg.raycast)
+        assert isinstance(rc, BruteForceRayCaster)
+        assert rc.max_dist == 3.0
+        # explicit argument overrides the config
+        rc2 = create_raycaster(v, f, backend="pallas", config=cfg.raycast)
+        assert isinstance(rc2, PallasRayCaster)
+        assert rc2.max_dist == 3.0
+
+    def test_mc_padded_from_config(self):
+        import primitive3d_tpu as p3d
+        from primitive3d_tpu.core.config import MarchingCubesConfig
+
+        n = 8
+        x, y, z = np.mgrid[:n, :n, :n].astype(np.float32)
+        c = (n - 1) / 2
+        grid = -((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2 - 4.0)
+        cfg = MarchingCubesConfig(vert_capacity=512, face_capacity=1024)
+        res = p3d.marching_cubes_padded(grid, 0.0, config=cfg)
+        assert res.vertices.shape == (512, 3)
+        assert res.faces.shape == (1024, 3)
+        assert int(res.num_faces) > 0
+        with pytest.raises(ValueError):
+            p3d.marching_cubes_padded(grid, 0.0)
