@@ -423,26 +423,19 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
     def cond(st):
         return st[0] < n
 
-    def body(st):
-        e, cprev, best, bidx = st
-        p = pairs_ref[0, 0, e]
+    def load_and_dot(e):
+        # clamped read: the tail lane of an odd-length list redoes the last
+        # pair with its update masked off below
+        p = pairs_ref[0, 0, jnp.minimum(e, n - 1)]
         c = p >> 3
         r = p & 7
-        if stream:
-            # pairs are cluster-major: re-DMA only when the cluster changes
-            @pl.when(c != cprev)
-            def _():
-                cp_w2 = pltpu.make_async_copy(w2_ref.at[c], w2s_ref, sem_w2)
-                cp_w2.start()
-                cp_w2.wait()
-
-            w2c = w2s_ref[:, :]
-        else:
-            w2c = w2_ref[c]
         # r2_ref: (1, NCH, 48, RCHUNK) bf16 [hi; lo; hi] per chunk
         # (host-side reduce_precision; see build_mxu_clusters). Indexed as
         # a ref: dynamic_slice of a loaded value does not lower.
-        full = dot(w2c, r2_ref[0, r])  # (4S, RCHUNK)
+        full = dot(w2_ref[c], r2_ref[0, r])  # (4S, RCHUNK)
+        return c, r, full
+
+    def epilogue(c, r, full, live, best, bidx):
         s0 = full[0 * S:1 * S]
         s1 = full[1 * S:2 * S]
         s2 = full[2 * S:3 * S]
@@ -467,14 +460,49 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
         tsel = jnp.min(ti, axis=0, keepdims=True)  # (1, RCHUNK)
         tb = jax.lax.bitcast_convert_type(tsel & ~im, jnp.float32)
         # tb broadcasts over rows; the row mask keeps the update on chunk r
-        updr = (brow == r) & (tb < best)
+        updr = (brow == r) & (tb < best) & live
         bidx = jnp.where(updr, c * S + (tsel & im), bidx)
         best = jnp.where(updr, tb, best)
+        return best, bidx
+
+    def body(st):
+        # 2x unrolled: both dots issue before either epilogue, so the MXU
+        # crunches visit e+1 while the VPU reduces visit e — the dot ->
+        # epilogue dependency was the dominant per-visit stall
+        e, best, bidx = st
+        c0, r0, full0 = load_and_dot(e)
+        c1, r1, full1 = load_and_dot(e + 1)
+        best, bidx = epilogue(c0, r0, full0, True, best, bidx)
+        best, bidx = epilogue(c1, r1, full1, e + 1 < n, best, bidx)
+        return e + 2, best, bidx
+
+    def body_stream(st):
+        # streaming tier: single-visit body (one VMEM scratch buffer), pairs
+        # are cluster-major so the DMA re-fetches only on cluster changes
+        e, cprev, best, bidx = st
+        p = pairs_ref[0, 0, e]
+        c = p >> 3
+        r = p & 7
+
+        @pl.when(c != cprev)
+        def _():
+            cp_w2 = pltpu.make_async_copy(w2_ref.at[c], w2s_ref, sem_w2)
+            cp_w2.start()
+            cp_w2.wait()
+
+        full = dot(w2s_ref[:, :], r2_ref[0, r])
+        best, bidx = epilogue(c, r, full, True, best, bidx)
         return e + 1, c, best, bidx
 
-    _, _, best, bidx = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(-1), best0, idx0)
-    )
+    if stream:
+        _, _, best, bidx = jax.lax.while_loop(
+            lambda st: st[0] < n, body_stream,
+            (jnp.int32(0), jnp.int32(-1), best0, idx0)
+        )
+    else:
+        _, best, bidx = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), best0, idx0)
+        )
     depth_ref[0] = best
     idx_ref[0] = bidx
 

@@ -21,7 +21,9 @@ def main():
     vb = (golden["v"] / 66.0).astype(np.float32)
     fb = golden["f"].astype(np.int32)
     tris = jnp.asarray(vb[fb])
-    cb = jax.block_until_ready(build_mxu_clusters(tris))
+    import os
+    S = int(os.environ.get("BENCH_S", "128"))
+    cb = jax.block_until_ready(build_mxu_clusters(tris, cluster_size=S))
 
     H = W = 512
     cam = camera_rays(H, W, origin=(0.5, 0.5, -1.5), look_at=(0.5, 0.5, 0.5),
