@@ -466,15 +466,19 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
         return best, bidx
 
     def body(st):
-        # 2x unrolled: both dots issue before either epilogue, so the MXU
-        # crunches visit e+1 while the VPU reduces visit e — the dot ->
-        # epilogue dependency was the dominant per-visit stall
+        # 4x unrolled: all dots issue before any epilogue, so the MXU
+        # crunches later visits while the VPU reduces earlier ones — the
+        # dot -> epilogue dependency was the dominant per-visit stall
         e, best, bidx = st
         c0, r0, full0 = load_and_dot(e)
         c1, r1, full1 = load_and_dot(e + 1)
+        c2, r2_, full2 = load_and_dot(e + 2)
+        c3, r3, full3 = load_and_dot(e + 3)
         best, bidx = epilogue(c0, r0, full0, True, best, bidx)
         best, bidx = epilogue(c1, r1, full1, e + 1 < n, best, bidx)
-        return e + 2, best, bidx
+        best, bidx = epilogue(c2, r2_, full2, e + 2 < n, best, bidx)
+        best, bidx = epilogue(c3, r3, full3, e + 3 < n, best, bidx)
+        return e + 4, best, bidx
 
     def body_stream(st):
         # streaming tier: single-visit body (one VMEM scratch buffer), pairs
