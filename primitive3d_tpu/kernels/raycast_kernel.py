@@ -450,7 +450,7 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
         # exact Plücker identity (see MxuClusterBVH): the three unnormalized
         # side products sum to rd.N
         den = (s0 + s1) + s2
-        t = num / den
+        t = num * pl.reciprocal(den, approx=True)
         # abs: a num == -0 edge-on case yields t = -0.0, whose bit pattern
         # is INT_MIN and would poison the packed integer min
         tm = jnp.abs(jnp.where(ok, t, 3.0e38))
