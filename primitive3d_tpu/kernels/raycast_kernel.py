@@ -450,7 +450,11 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
         # exact Plücker identity (see MxuClusterBVH): the three unnormalized
         # side products sum to rd.N
         den = (s0 + s1) + s2
-        t = num * pl.reciprocal(den, approx=True)
+        # approx reciprocal + one Newton-Raphson step: ~f32-accurate at a
+        # fraction of a full divide's VPU passes
+        rd = pl.reciprocal(den, approx=True)
+        rd = rd * (2.0 - den * rd)
+        t = num * rd
         # abs: a num == -0 edge-on case yields t = -0.0, whose bit pattern
         # is INT_MIN and would poison the packed integer min
         tm = jnp.abs(jnp.where(ok, t, 3.0e38))
