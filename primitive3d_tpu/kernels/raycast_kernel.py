@@ -609,6 +609,12 @@ def cast_clusters_mxu(
     # flat work list: compact flagged (cluster, chunk) pairs cluster-major
     # (so the streaming tier re-DMAs w2[c] only on cluster changes)
     ok = _interval_cull(bvh.boxes, rint, float(max_dist))  # (B, NCH, C)
+    # drop degenerate clusters (zero-extent boxes): capacity-padded meshes
+    # (marching_cubes_padded -> vertices[faces] with 0-padded faces) produce
+    # whole clusters of point triangles that can never be hit but whose
+    # point boxes would otherwise pass the slab test for any ray near them
+    nondeg = jnp.any(bvh.boxes[:, 3:] > bvh.boxes[:, :3], axis=-1)
+    ok = ok & nondeg[None, None, :]
     okt = ok.transpose(0, 2, 1).reshape(B, C * NCH)
     pid = jax.lax.broadcasted_iota(jnp.int32, (B, C * NCH), 1)
     # stable sort: flagged pairs to the front, preserving cluster-major order
@@ -778,8 +784,12 @@ def cast_clusters_diff(
         bvh = build_mxu_clusters(tris_ng)
     o_ng = jax.lax.stop_gradient(origins)
     d_ng = jax.lax.stop_gradient(dirs)
+    # flagship-scale meshes (capacity-padded 256^3 extractions) exceed the
+    # VMEM-resident Plücker budget: stream clusters from HBM
+    stream = bvh.prim_order.shape[0] > 32_000
     _, sidx = cast_clusters_mxu(
-        bvh, o_ng, d_ng, max_dist=max_dist, interpret=interpret
+        bvh, o_ng, d_ng, max_dist=max_dist, interpret=interpret,
+        stream=stream,
     )
     prim = bvh.prim_order[jnp.maximum(sidx, 0)]
     hit = (sidx >= 0) & (prim >= 0)
