@@ -8,7 +8,7 @@ default, consumed by the factories:
 
     cfg = Config(raycast=RayCastConfig(backend="bruteforce"))
     rc = create_raycaster(v, f, config=cfg.raycast)
-    res = marching_cubes_padded_cfg(grid, 0.0, config=cfg.marching_cubes)
+    res = marching_cubes_padded(grid, 0.0, config=cfg.marching_cubes)
 
 Explicit keyword arguments always override config fields.
 """

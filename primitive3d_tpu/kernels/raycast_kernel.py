@@ -367,7 +367,6 @@ def _order_and_bounds(bvh, o: Array, B: int, group: int = GROUP,
 RCHUNK = 256  # rays per chunk (flag/visit granularity)
 MBLOCK = 2048  # rays per program of the MXU kernel
 NCH = MBLOCK // RCHUNK
-RUN = 16  # clusters per run: flag bits per SMEM word / bound granularity
 
 
 def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
@@ -635,7 +634,7 @@ def cast_clusters_mxu(
                          memory_space=pltpu.SMEM),  # n
             pl.BlockSpec((1, 1, C * NCH), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),  # pairs
-            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM),
             r2_spec,
         ],
         out_specs=[out_spec, out_spec],
@@ -765,6 +764,8 @@ def cast_clusters_diff(
     bvh=None,
     max_dist: float = 10.0,
     interpret: bool = False,
+    mxu_max_tris: int = None,
+    mxu_stream_max_tris: int = None,
 ) -> Tuple[Array, Array]:
     """Differentiable closest hit: (depth, original-triangle index).
 
@@ -777,20 +778,32 @@ def cast_clusters_diff(
     :class:`MxuClusterBVH`; otherwise one is built from ``tris`` (under
     ``stop_gradient``) each call.
     """
-    from ..bvh.clusters import build_mxu_clusters
+    from ..bvh.clusters import build_clusters, build_mxu_clusters
+    from ..raycast import PallasRayCaster
 
+    # same size tiers as PallasRayCaster, keyed on the actual triangle count
+    cap = (PallasRayCaster.MXU_MAX_TRIS if mxu_max_tris is None
+           else mxu_max_tris)
+    scap = (PallasRayCaster.MXU_STREAM_MAX_TRIS if mxu_stream_max_tris is None
+            else mxu_stream_max_tris)
+    T = tris.shape[0]
+    use_mxu = bvh is not None or T <= scap
     tris_ng = jax.lax.stop_gradient(tris)
     if bvh is None:
-        bvh = build_mxu_clusters(tris_ng)
+        bvh = (build_mxu_clusters if use_mxu else build_clusters)(tris_ng)
     o_ng = jax.lax.stop_gradient(origins)
     d_ng = jax.lax.stop_gradient(dirs)
-    # flagship-scale meshes (capacity-padded 256^3 extractions) exceed the
-    # VMEM-resident Plücker budget: stream clusters from HBM
-    stream = bvh.prim_order.shape[0] > 32_000
-    _, sidx = cast_clusters_mxu(
-        bvh, o_ng, d_ng, max_dist=max_dist, interpret=interpret,
-        stream=stream,
-    )
+    if use_mxu:
+        # flagship-scale meshes (capacity-padded 256^3 extractions) exceed
+        # the VMEM-resident Plücker budget: stream clusters from HBM
+        _, sidx = cast_clusters_mxu(
+            bvh, o_ng, d_ng, max_dist=max_dist, interpret=interpret,
+            stream=T > cap,
+        )
+    else:
+        _, sidx = cast_clusters(
+            bvh, o_ng, d_ng, max_dist=max_dist, interpret=interpret
+        )
     prim = bvh.prim_order[jnp.maximum(sidx, 0)]
     hit = (sidx >= 0) & (prim >= 0)
     tri = tris[jnp.maximum(prim, 0)]

@@ -615,10 +615,12 @@ def marching_cubes_padded(
     arguments override it.
     """
     if config is not None:
-        vert_capacity = vert_capacity or config.vert_capacity
-        face_capacity = face_capacity or config.face_capacity
-        vert_units = vert_units or config.vert_units
-        cube_units = cube_units or config.cube_units
+        if vert_capacity is None:
+            vert_capacity = config.vert_capacity
+        if face_capacity is None:
+            face_capacity = config.face_capacity
+        vert_units = vert_units if vert_units else config.vert_units
+        cube_units = cube_units if cube_units else config.cube_units
     if vert_capacity is None or face_capacity is None:
         raise ValueError(
             "vert_capacity/face_capacity required (directly or via config)")

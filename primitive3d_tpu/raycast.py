@@ -106,9 +106,13 @@ def _finish_hits(triangles, prim_order, depth_k, sidx, o, d,
     the brute-force oracle makes depth bit-comparable to it wherever the
     winner agrees (BASELINE.md: depth buffers allclose vs goldens).
     """
-    hit = sidx >= 0
     safe = jnp.maximum(sidx, 0)
-    face_id = jnp.where(hit, prim_order[safe], -1)
+    fid = prim_order[safe]
+    # gate on a real face id too: a padding slot (prim_order == -1) should
+    # never win the packed min, but the refine/normals must not depend on
+    # that kernel invariant
+    hit = (sidx >= 0) & (fid >= 0)
+    face_id = jnp.where(hit, fid, -1)
     tri_w = triangles[jnp.maximum(face_id, 0)]
     t_exact = tri_ops.ray_intersect(o, d, tri_w)
     # if the exact test disagrees on a grazing winner, keep the kernel depth
@@ -187,9 +191,10 @@ class PallasRayCaster(RayCaster):
         from .bvh.clusters import (CLUSTER_SIZE, build_clusters,
                                    build_mxu_clusters)
 
-        cap = mxu_max_tris or self.MXU_MAX_TRIS
-        scap = mxu_stream_max_tris or self.MXU_STREAM_MAX_TRIS
-        cs = cluster_size or CLUSTER_SIZE
+        cap = self.MXU_MAX_TRIS if mxu_max_tris is None else mxu_max_tris
+        scap = (self.MXU_STREAM_MAX_TRIS if mxu_stream_max_tris is None
+                else mxu_stream_max_tris)
+        cs = CLUSTER_SIZE if cluster_size is None else cluster_size
         self.use_mxu = self.num_triangles <= scap
         self.mxu_stream = self.num_triangles > cap
         build = build_mxu_clusters if self.use_mxu else build_clusters

@@ -1,6 +1,12 @@
-"""Measure work-list statistics for the flagship-scale cast."""
+"""Measure work-list statistics for the flagship-scale cast.
+
+Usage: python tools/cull_stats.py
+"""
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

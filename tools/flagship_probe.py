@@ -5,8 +5,11 @@ Usage: python tools/flagship_probe.py <stage>
   cast    - streamed MXU cast of 1080p rays vs the extracted mesh
   step    - full differentiable training step (MC + cast + grad)
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
