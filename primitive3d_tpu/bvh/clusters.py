@@ -144,6 +144,18 @@ def build_mxu_clusters(
         [edge_col(a, b), edge_col(b, c3), edge_col(c3, a), num_col],
         axis=1,
     )  # (C, 4, S, 16)
+    # Degenerate triangles (repeated vertex / zero normal — capacity-padding
+    # faces [0,0,0] de-index to point triangles at v0) must get exactly-zero
+    # columns: XLA contracts cross() into FMAs, so cross(a, a) leaves a tiny
+    # rounding residue that would make s0 = s1 = s2 = residue, num = 0 pass
+    # the sign-agreement test as a spurious t = 0 hit winning the packed min.
+    deg = (
+        jnp.all(td[..., 3:6] == 0.0, axis=-1)
+        | jnp.all(td[..., 6:9] == 0.0, axis=-1)
+        | jnp.all(b == c3, axis=-1)
+        | jnp.all(n == 0.0, axis=-1)
+    )  # (C, S)
+    cols = jnp.where(deg[:, None, :, None], 0.0, cols)
     w = cols.transpose(0, 3, 1, 2).reshape(C, 16, 4 * S)
     # hi/lo bf16 split stacked on the contraction dim (see MxuClusterBVH.w2).
     # reduce_precision (not a dtype cast round-trip, which XLA elides as

@@ -41,7 +41,15 @@ def ray_vectors(origins: Array, dirs: Array) -> Array:
 
 
 def triangle_matrix(tris: Array) -> Array:
-    """Pack triangles (T,3,3) into intersection matrices (T, 10, 5)."""
+    """Pack triangles (T,3,3) into intersection matrices (T, 10, 5).
+
+    Degenerate triangles (repeated vertex or zero normal — e.g. the
+    ``(v0, v0, v0)`` point triangles produced by capacity-padded faces
+    ``[0,0,0]``) get an exactly-zero matrix. This must be explicit: XLA
+    contracts the cross-product mul-sub into FMAs, so ``cross(a, a)``
+    evaluates to a tiny rounding residue rather than 0, which would turn
+    the sign-agreement hit test into a spurious hit with garbage t.
+    """
     a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
     n = jnp.cross(b - a, c - a)
     zeros3 = jnp.zeros_like(a)
@@ -62,7 +70,14 @@ def triangle_matrix(tris: Array) -> Array:
             axis=-1,
         ),
     ]
-    return jnp.stack(cols, axis=-1)  # (T, 10, 5)
+    w = jnp.stack(cols, axis=-1)  # (T, 10, 5)
+    deg = (
+        jnp.all(a == b, axis=-1)
+        | jnp.all(b == c, axis=-1)
+        | jnp.all(c == a, axis=-1)
+        | jnp.all(n == 0.0, axis=-1)
+    )
+    return jnp.where(deg[:, None, None], 0.0, w)
 
 
 def chunk_hits(

@@ -1,11 +1,12 @@
 """Camera ray generation with TPU-coherent ordering.
 
-The Pallas caster processes rays in blocks of 1024; a block's cost is the
-union of clusters its rays touch, so block coherence is a first-order
-performance knob (the analog of warp coherence for the reference's CUDA
-traversal). ``camera_rays`` emits pinhole rays in 32x32 pixel tiles — each
-1024-ray kernel block is a compact square of the image — plus the permutation
-to scatter results back to row-major order.
+The MXU cluster caster culls work at 256-ray chunk granularity (RCHUNK in
+kernels/raycast_kernel.py); a chunk's cost is the union of clusters its rays
+touch, so chunk coherence is a first-order performance knob (the analog of
+warp coherence for the reference's CUDA traversal). ``camera_rays`` emits
+pinhole rays in TILE x TILE = 16x16 pixel tiles — each 256-ray cull chunk is
+a compact square of the image — plus the permutation to scatter results back
+to row-major order.
 """
 from __future__ import annotations
 
