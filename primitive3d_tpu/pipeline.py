@@ -46,7 +46,7 @@ def render_depth(
     upper=None,
     max_dist: float = 10.0,
     chunk: int = 512,
-    backend: str = "mxu",
+    backend: str = "auto",
 ) -> RenderOut:
     """Differentiable depth render of the thresh-isosurface of ``density``.
 
@@ -55,10 +55,15 @@ def render_depth(
 
     ``backend``: "pallas" uses the cluster kernel for hit finding (depth
     recomputed differentiably at the hit triangle — far faster than the
-    all-pairs MXU cast for large meshes; single-device programs only, and
-    face_capacity must fit its ~40k-triangle VMEM budget); "mxu" (default)
-    is the all-pairs cast and composes with any sharding.
+    O(R*T) all-pairs cast for large meshes; streams the Plücker tensor from
+    HBM beyond its ~32k-triangle VMEM budget); "mxu" is the all-pairs cast.
+    "auto" (default) picks "pallas" once ``face_capacity`` is past the
+    all-pairs sweet spot. Both backends compose with shard_map ray
+    data-parallelism (see parallel/pipeline.py) — each device runs the
+    single-device program on its ray slice.
     """
+    if backend == "auto":
+        backend = "pallas" if face_capacity > 8192 else "mxu"
     res = marching_cubes_padded(
         density,
         thresh,

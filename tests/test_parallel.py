@@ -94,6 +94,53 @@ class TestShardedMC:
         )
 
 
+class TestShardedPipeline:
+    @pytest.mark.parametrize("backend", ["mxu", "pallas"])
+    def test_loss_and_grad_match_single_device(self, backend):
+        """Sharded flagship step == single-device step (loss and gradient)."""
+        from primitive3d_tpu.parallel.pipeline import sharded_sdf_fitting_loss
+        from primitive3d_tpu.pipeline import sdf_fitting_loss
+
+        mesh = make_mesh(8, axis_name="data")
+        n = 16
+        x, y, z = np.mgrid[:n, :n, :n].astype(np.float32)
+        c, r = n / 2.0, n / 4.0
+        dens = jnp.asarray(
+            -((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2 - r**2) / n
+        )
+        R = 256
+        o = np.tile(np.array([c, c, -2.0 * n], np.float32), (R, 1))
+        g = int(np.sqrt(R))
+        ys, xs = np.mgrid[0:g, 0:g]
+        d = np.stack(
+            [
+                (xs.ravel() + 0.5) / g - 0.5,
+                (ys.ravel() + 0.5) / g - 0.5,
+                np.full(R, 2.2, np.float32),
+            ],
+            -1,
+        ).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        target = jnp.full((R,), 24.0, jnp.float32)
+        kw = dict(
+            vert_capacity=1024, face_capacity=2048, max_dist=100.0,
+            backend=backend,
+        )
+
+        l1, g1 = jax.value_and_grad(
+            lambda gg: sdf_fitting_loss(gg, o, d, target, **kw)
+        )(dens)
+        ls, gs = jax.value_and_grad(
+            lambda gg: sharded_sdf_fitting_loss(mesh, gg, o, d, target, **kw)
+        )(dens)
+        # psum of per-shard partials reorders the reduction: tiny FP noise
+        assert float(l1) == pytest.approx(float(ls), rel=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(g1), rtol=1e-4, atol=1e-6
+        )
+
+
 class TestShardedRaycast:
     def test_pallas_backend_matches_single_chip(self):
         """The Pallas cluster kernel under shard_map (8-way ray DP)."""
