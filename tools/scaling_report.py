@@ -2,16 +2,20 @@
 
 BASELINE.md requires throughput reported at 1 chip / 1 host / N hosts with
 >= 85% efficiency on a 2-host slice. This harness runs the sharded ray caster
-and sharded marching cubes on meshes of increasing size over whatever devices
-are available (a real pod slice, or the virtual CPU mesh for a logic check):
+and sharded marching cubes over whatever devices are available (a real pod
+slice, or the virtual CPU mesh for a logic check) and writes a JSON artifact:
 
-    python tools/scaling_report.py            # all local devices
+    python tools/scaling_report.py [--out SCALING.json]     # local devices
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python tools/scaling_report.py        # virtual 8-device mesh
+        python tools/scaling_report.py --out SCALING_r3.json  # virtual mesh
 
 Efficiency numbers on the virtual CPU mesh only validate the machinery (all
-virtual devices share one CPU); real numbers require real chips.
+virtual devices share one CPU, so per-device rates FALL as n grows and
+"efficiency" reflects scheduler overhead, not ICI scaling); real numbers
+require real chips — the artifact records which case it measured.
 """
+import argparse
+import json
 import os
 import sys
 import time
@@ -43,6 +47,10 @@ def amortized(fn, K=5):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="write JSON artifact here")
+    args = ap.parse_args()
+
     from primitive3d_tpu.parallel.marching_cubes import sharded_marching_cubes
     from primitive3d_tpu.parallel.mesh import make_mesh
     from primitive3d_tpu.mxu_cast import cast_mxu, triangle_matrix
@@ -50,8 +58,17 @@ def main():
     from tests.oracles.raycast_numpy import icosphere
 
     devs = jax.devices()
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devs)]
     print(f"devices: {len(devs)} x {devs[0].device_kind}")
+    report = {
+        "platform": jax.default_backend(),
+        "device_kind": str(devs[0].device_kind),
+        "n_devices": len(devs),
+        "virtual_cpu_mesh": not on_tpu,
+        "rays": [],
+        "voxels": [],
+    }
 
     # --- rays: data-parallel MXU cast over an icosphere ---------------------
     v, f = icosphere(3)
@@ -80,6 +97,9 @@ def main():
         if base_rate is None:
             base_rate = rate
         print(f"rays  n={n}: {rate/1e6:8.2f} Mrays/s  efficiency {eff:5.1f}%")
+        report["rays"].append(
+            {"devices": n, "rays_per_s": round(rate), "efficiency_pct": round(eff, 1)}
+        )
 
     # --- voxels: sharded MC -------------------------------------------------
     N = 64
@@ -105,6 +125,14 @@ def main():
         if base_rate is None:
             base_rate = rate
         print(f"voxels n={n}: {rate/1e6:8.2f} Mvox/s  efficiency {eff:5.1f}%")
+        report["voxels"].append(
+            {"devices": n, "vox_per_s": round(rate), "efficiency_pct": round(eff, 1)}
+        )
+
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
