@@ -369,8 +369,98 @@ MBLOCK = 2048  # rays per program of the MXU kernel
 NCH = MBLOCK // RCHUNK
 
 
+def _kernel_mxu_stream(n_ref, entries_ref, w2_ref, r2_ref, depth_ref,
+                       idx_ref, w2s_ref, sem_w2, *, cluster_size, max_dist):
+    """HBM-streaming tier of the MXU cluster caster.
+
+    Work list is one word per flagged cluster — ``(c << 8) | chunk_mask``
+    (cluster-major, so SMEM cost is C words instead of the resident tier's
+    C*NCH pairs) — and the per-cluster Plücker matrix ``w2[c]`` is DMA'd
+    HBM -> VMEM through a 2-slot double buffer: entry e+1's fetch is started
+    before entry e is processed, so the copy rides under e's 1-8 matmuls
+    instead of serialising with them.
+    """
+    S = cluster_size
+    tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, RCHUNK), 0)
+    im = jnp.int32(S - 1)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
+
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    n = n_ref[0, 0, 0]
+    best0 = jnp.full((NCH, RCHUNK), max_dist, jnp.float32)
+    idx0 = jnp.full((NCH, RCHUNK), -1, jnp.int32)
+
+    def epilogue(c, r, full, best, bidx):
+        s0 = full[0 * S:1 * S]
+        s1 = full[1 * S:2 * S]
+        s2 = full[2 * S:3 * S]
+        num = full[3 * S:4 * S]
+        m4 = jnp.minimum(jnp.minimum(s0, s1), jnp.minimum(s2, num))
+        M4 = jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, num))
+        ok = (m4 >= 0) | (M4 <= 0)
+        den = (s0 + s1) + s2
+        rd = pl.reciprocal(den, approx=True)
+        rd = rd * (2.0 - den * rd)
+        t = num * rd
+        tm = jnp.abs(jnp.where(ok, t, 3.0e38))
+        ti = (jax.lax.bitcast_convert_type(tm, jnp.int32) & ~im) | tri_row
+        tsel = jnp.min(ti, axis=0, keepdims=True)
+        tb = jax.lax.bitcast_convert_type(tsel & ~im, jnp.float32)
+        updr = (brow == r) & (tb < best)
+        bidx = jnp.where(updr, c * S + (tsel & im), bidx)
+        best = jnp.where(updr, tb, best)
+        return best, bidx
+
+    def start_fetch(e):
+        cn = entries_ref[0, 0, e] >> 8
+        pltpu.make_async_copy(
+            w2_ref.at[cn], w2s_ref.at[e & 1], sem_w2.at[e & 1]
+        ).start()
+
+    @pl.when(n > 0)
+    def _():
+        start_fetch(0)
+
+    def body(st):
+        e, best, bidx = st
+        word = entries_ref[0, 0, e]
+        c = word >> 8
+        mask = word & 0xFF
+        slot = e & 1
+
+        @pl.when(e + 1 < n)
+        def _():
+            start_fetch(e + 1)
+
+        pltpu.make_async_copy(
+            w2_ref.at[c], w2s_ref.at[slot], sem_w2.at[slot]
+        ).wait()
+
+        for r in range(NCH):  # static unroll over the cluster's chunk bits
+            def do(carry, r=r):
+                b, bi = carry
+                full = dot(w2s_ref[slot], r2_ref[0, r])
+                return epilogue(c, r, full, b, bi)
+
+            best, bidx = jax.lax.cond(
+                (mask >> r) & 1 != 0, do, lambda cr: cr, (best, bidx)
+            )
+        return e + 1, best, bidx
+
+    _, best, bidx = jax.lax.while_loop(
+        lambda st: st[0] < n, body, (jnp.int32(0), best0, idx0)
+    )
+    depth_ref[0] = best
+    idx_ref[0] = bidx
+
+
 def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
-                *scratch, cluster_size, max_dist, stream):
+                *, cluster_size, max_dist):
     """MXU cluster caster: one K=48 matmul per (cluster, 256-ray chunk).
 
     Layout rule: rays live in the LANE dimension everywhere — per-ray state
@@ -402,9 +492,6 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
     (the caller refines winners to exact f32, raycast._finish_hits).
     """
     S = cluster_size
-    if stream:
-        w2s_ref, sem_w2 = scratch
-
     tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, RCHUNK), 0)
     im = jnp.int32(S - 1)  # in-cluster index mask: log2(S) low mantissa bits
     brow = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
@@ -483,33 +570,9 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
         best, bidx = epilogue(c3, r3, full3, e + 3 < n, best, bidx)
         return e + 4, best, bidx
 
-    def body_stream(st):
-        # streaming tier: single-visit body (one VMEM scratch buffer), pairs
-        # are cluster-major so the DMA re-fetches only on cluster changes
-        e, cprev, best, bidx = st
-        p = pairs_ref[0, 0, e]
-        c = p >> 3
-        r = p & 7
-
-        @pl.when(c != cprev)
-        def _():
-            cp_w2 = pltpu.make_async_copy(w2_ref.at[c], w2s_ref, sem_w2)
-            cp_w2.start()
-            cp_w2.wait()
-
-        full = dot(w2s_ref[:, :], r2_ref[0, r])
-        best, bidx = epilogue(c, r, full, True, best, bidx)
-        return e + 1, c, best, bidx
-
-    if stream:
-        _, _, best, bidx = jax.lax.while_loop(
-            lambda st: st[0] < n, body_stream,
-            (jnp.int32(0), jnp.int32(-1), best0, idx0)
-        )
-    else:
-        _, best, bidx = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), best0, idx0)
-        )
+    _, best, bidx = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), best0, idx0)
+    )
     depth_ref[0] = best
     idx_ref[0] = bidx
 
@@ -550,6 +613,80 @@ def _interval_cull(boxes, rint, max_dist):
     return (tl <= th) & (th >= 0.0) & (tl < max_dist)
 
 
+def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
+    """Host-side prep for the MXU cluster kernels (pure XLA, timeable alone).
+
+    ``o``/``d`` are already padded to a multiple of MBLOCK. Returns
+    ``(n, work, r2)``: per-block work-list lengths (B, 1, 1) for SMEM, the
+    flat work list (B, 1, ...) for SMEM — (cluster, chunk) pairs for the
+    VMEM-resident tier, ``(c << 8) | chunk-mask`` cluster words for the
+    streaming tier (8x less SMEM; entry boundaries == cluster changes, which
+    the double-buffered w2 prefetch keys on) — and the double-bf16 ray
+    Plücker tensor r2 (B, NCH, 48, RCHUNK).
+    """
+    Rp = o.shape[0]
+    B = Rp // MBLOCK
+    C = bvh.num_clusters
+
+    m = jnp.cross(o, d)
+    ones = jnp.ones((Rp, 1), jnp.float32)
+    rvec = jnp.concatenate(
+        [d, m, o, ones, jnp.zeros((Rp, 6), jnp.float32)], axis=1
+    )  # (Rp, 16)
+    rvt = rvec.reshape(B, NCH, RCHUNK, 16).transpose(0, 1, 3, 2)
+    rvh32 = jax.lax.reduce_precision(rvt, exponent_bits=8, mantissa_bits=7)
+    rvh = rvh32.astype(jnp.bfloat16)
+    rvl = (rvt - rvh32).astype(jnp.bfloat16)
+    r2 = jnp.concatenate(
+        [rvh, rvl, rvh], axis=2
+    )  # (B, NCH, 48, RCHUNK) [hi;lo;hi]
+
+    # per-(block, chunk) ray intervals: origin box + clamped inverse-dir
+    # bounds, interleaved [oxlo,oxhi,...,ozhi, ivxlo,ivxhi,...,ivzhi]
+    ob = o.reshape(B, NCH, RCHUNK, 3)
+    db = d.reshape(B, NCH, RCHUNK, 3)
+    ivb = jnp.clip(1.0 / db, -1e18, 1e18)  # finite: no 0*inf NaNs
+    oint = jnp.stack(
+        [jnp.min(ob, axis=2), jnp.max(ob, axis=2)], axis=-1
+    ).reshape(B, NCH, 6)
+    ivint = jnp.stack(
+        [jnp.min(ivb, axis=2), jnp.max(ivb, axis=2)], axis=-1
+    ).reshape(B, NCH, 6)
+    rint = jnp.concatenate([oint, ivint], axis=-1)  # (B, NCH, 12)
+
+    # flat work list from the interval cull
+    ok = _interval_cull(bvh.boxes, rint, max_dist)  # (B, NCH, C)
+    # drop degenerate clusters (zero-extent boxes): capacity-padded meshes
+    # (marching_cubes_padded -> vertices[faces] with 0-padded faces) produce
+    # whole clusters of point triangles that can never be hit but whose
+    # point boxes would otherwise pass the slab test for any ray near them
+    nondeg = jnp.any(bvh.boxes[:, 3:] > bvh.boxes[:, :3], axis=-1)
+    ok = ok & nondeg[None, None, :]
+
+    if stream:
+        okc = ok.transpose(0, 2, 1)  # (B, C, NCH)
+        bits = (1 << jnp.arange(NCH, dtype=jnp.int32))[None, None, :]
+        cmask = jnp.sum(okc.astype(jnp.int32) * bits, axis=-1)  # (B, C)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+        words = (cid << 8) | cmask
+        _, entries = jax.lax.sort(
+            (jnp.where(cmask > 0, 0, 1).astype(jnp.int32), words),
+            dimension=1, num_keys=1, is_stable=True,
+        )
+        n = jnp.sum(cmask > 0, axis=1).astype(jnp.int32)[:, None, None]
+        return n, entries[:, None], r2
+
+    # (cluster, chunk) pairs compacted to the front, cluster-major
+    okt = ok.transpose(0, 2, 1).reshape(B, C * NCH)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (B, C * NCH), 1)
+    _, pairs = jax.lax.sort(
+        (jnp.where(okt, 0, 1).astype(jnp.int32), pid), dimension=1,
+        num_keys=1, is_stable=True,
+    )
+    n = jnp.sum(okt, axis=1).astype(jnp.int32)[:, None, None]  # (B, 1, 1)
+    return n, pairs[:, None], r2
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_dist", "interpret", "stream")
 )
@@ -576,91 +713,62 @@ def cast_clusters_mxu(
     d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
     Rp = R + pad
     B = Rp // MBLOCK
-
-    m = jnp.cross(o, d)
-    ones = jnp.ones((Rp, 1), jnp.float32)
-    rvec = jnp.concatenate(
-        [d, m, o, ones, jnp.zeros((Rp, 6), jnp.float32)], axis=1
-    )  # (Rp, 16)
-    rvt = rvec.reshape(B, NCH, RCHUNK, 16).transpose(0, 1, 3, 2)
-    rvh32 = jax.lax.reduce_precision(rvt, exponent_bits=8, mantissa_bits=7)
-    rvh = rvh32.astype(jnp.bfloat16)
-    rvl = (rvt - rvh32).astype(jnp.bfloat16)
-    r2 = jnp.concatenate(
-        [rvh, rvl, rvh], axis=2
-    )  # (B, NCH, 48, RCHUNK) [hi;lo;hi]
-
+    n, work, r2 = _mxu_prep(bvh, o, d, float(max_dist), stream)
     C = bvh.num_clusters
-
-    # per-(block, chunk) ray intervals: origin box + clamped inverse-dir
-    # bounds, interleaved [oxlo,oxhi,...,ozhi, ivxlo,ivxhi,...,ivzhi]
-    ob = o.reshape(B, NCH, RCHUNK, 3)
-    db = d.reshape(B, NCH, RCHUNK, 3)
-    ivb = jnp.clip(1.0 / db, -1e18, 1e18)  # finite: no 0*inf NaNs
-    oint = jnp.stack(
-        [jnp.min(ob, axis=2), jnp.max(ob, axis=2)], axis=-1
-    ).reshape(B, NCH, 6)
-    ivint = jnp.stack(
-        [jnp.min(ivb, axis=2), jnp.max(ivb, axis=2)], axis=-1
-    ).reshape(B, NCH, 6)
-    rint = jnp.concatenate([oint, ivint], axis=-1)  # (B, NCH, 12)
-
-    # flat work list: compact flagged (cluster, chunk) pairs cluster-major
-    # (so the streaming tier re-DMAs w2[c] only on cluster changes)
-    ok = _interval_cull(bvh.boxes, rint, float(max_dist))  # (B, NCH, C)
-    # drop degenerate clusters (zero-extent boxes): capacity-padded meshes
-    # (marching_cubes_padded -> vertices[faces] with 0-padded faces) produce
-    # whole clusters of point triangles that can never be hit but whose
-    # point boxes would otherwise pass the slab test for any ray near them
-    nondeg = jnp.any(bvh.boxes[:, 3:] > bvh.boxes[:, :3], axis=-1)
-    ok = ok & nondeg[None, None, :]
-    okt = ok.transpose(0, 2, 1).reshape(B, C * NCH)
-    pid = jax.lax.broadcasted_iota(jnp.int32, (B, C * NCH), 1)
-    # stable sort: flagged pairs to the front, preserving cluster-major order
-    _, pairs = jax.lax.sort(
-        (jnp.where(okt, 0, 1).astype(jnp.int32), pid), dimension=1,
-        num_keys=1, is_stable=True,
-    )
-    n = jnp.sum(okt, axis=1).astype(jnp.int32)[:, None, None]  # (B, 1, 1)
-
     r2_spec = pl.BlockSpec((1, NCH, 48, RCHUNK), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, NCH, RCHUNK), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),  # n
-            pl.BlockSpec((1, 1, C * NCH), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),  # pairs
-            pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM),
-            r2_spec,
-        ],
-        out_specs=[out_spec, out_spec],
-        scratch_shapes=(
-            [
-                pltpu.VMEM((48, 4 * bvh.cluster_size), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA,
-            ]
-            if stream
-            else []
-        ),
-    )
-    kernel = functools.partial(
-        _kernel_mxu, cluster_size=bvh.cluster_size,
-        max_dist=float(max_dist), stream=stream,
-    )
+    out_shape = [
+        jax.ShapeDtypeStruct((B, NCH, RCHUNK), jnp.float32),
+        jax.ShapeDtypeStruct((B, NCH, RCHUNK), jnp.int32),
+    ]
+    n_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                          memory_space=pltpu.SMEM)
+
+    if stream:
+        grid_spec = pl.GridSpec(
+            grid=(B,),
+            in_specs=[
+                n_spec,
+                pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),  # entries
+                pl.BlockSpec(memory_space=pl.ANY),  # w2 stays in HBM
+                r2_spec,
+            ],
+            out_specs=[out_spec, out_spec],
+            scratch_shapes=[
+                pltpu.VMEM((2, 48, 4 * bvh.cluster_size), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(
+            _kernel_mxu_stream, cluster_size=bvh.cluster_size,
+            max_dist=float(max_dist),
+        )
+    else:
+        grid_spec = pl.GridSpec(
+            grid=(B,),
+            in_specs=[
+                n_spec,
+                pl.BlockSpec((1, 1, C * NCH), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),  # pairs
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                r2_spec,
+            ],
+            out_specs=[out_spec, out_spec],
+        )
+        kernel = functools.partial(
+            _kernel_mxu, cluster_size=bvh.cluster_size,
+            max_dist=float(max_dist),
+        )
 
     depth, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, NCH, RCHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((B, NCH, RCHUNK), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(n, pairs[:, None], bvh.w2, r2)
+    )(n, work, bvh.w2, r2)
     return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]
 
 

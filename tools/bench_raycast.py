@@ -50,6 +50,31 @@ def main():
     sec = (time.perf_counter() - t0) / K
     print(f"{sec*1e3:.3f} ms/cast = {H*W/sec/1e6:.2f} Mrays/s", flush=True)
 
+    if os.environ.get("BENCH_SPLIT"):
+        # host-prep-only timing: work-list + r2 build without the kernel
+        from primitive3d_tpu.kernels.raycast_kernel import MBLOCK, _mxu_prep
+
+        R = oj.shape[0]
+        pad = (-R) % MBLOCK
+        op = jnp.concatenate([oj, jnp.zeros((pad, 3), jnp.float32)])
+        dp = jnp.concatenate([dj, jnp.ones((pad, 3), jnp.float32)])
+
+        @jax.jit
+        def prep_only(z):
+            def body(i, acc):
+                n, work, r2 = _mxu_prep(cb, op + (acc * 1e-30 + z), dp,
+                                        10.0, False)
+                return acc + n[0, 0, 0].astype(jnp.float32) + r2[
+                    0, 0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+        float(prep_only(jnp.float32(0)))
+        t0 = time.perf_counter()
+        float(prep_only(jnp.float32(0)))
+        psec = (time.perf_counter() - t0) / K
+        print(f"prep-only: {psec*1e3:.3f} ms ({100*psec/sec:.1f}% of cast)",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
