@@ -206,10 +206,17 @@ def _units_occupied(mask: Array) -> Array:
 
 
 def _default_unit_capacity(capacity: int, E: int) -> int:
-    """Units budget: assumes >= 8 selected elements per occupied unit on
-    average (MC crossings cluster along grid lines); flagged if exceeded."""
+    """Default units budget: the EXACT bound ``capacity`` — the first
+    ``capacity`` selected elements span at most ``capacity`` occupied units
+    (each holds >= 1), so the default can never truncate. Callers chasing
+    the last 20-30% of MC throughput pass a tight measured budget instead
+    (see bench.py / marching_cubes, which derive it from the counts pass).
+
+    History: an earlier heuristic assumed >= 8 crossings per occupied
+    128-unit; a 256^3 sphere averages 1.5 and silently lost the +x
+    hemisphere of the flagship mesh (round-3 fix)."""
     U = -(-E // _UNIT)
-    return min(U, max(4096, capacity // 8))
+    return min(U, max(4096, capacity))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -78,14 +78,21 @@ def sharded_marching_cubes(
 ) -> ShardedMCResult:
     """Marching cubes over an x-sharded grid. Jittable under ``mesh``.
 
-    ``density`` is (X, Y, Z) with X divisible by the mesh axis size. Vertex
-    world coordinates use the index-space convention (scale externally).
+    ``density`` is (X, Y, Z); X that does not divide the mesh axis size is
+    padded internally (edge-row replication, with all crossings and cubes in
+    the padded rows masked out against the true row count), so any grid works
+    on any mesh. Vertex world coordinates use the index-space convention
+    (scale externally).
     """
     S = mesh.shape[axis_name]
     X, Y, Z = density.shape
-    if X % S != 0:
-        raise ValueError(f"X={X} not divisible by mesh axis {axis_name}={S}")
-    Xs = X // S
+    Xv = X  # true (valid) row count; rows >= Xv are padding
+    Xp = -(-X // S) * S
+    if Xp != X:
+        density = jnp.concatenate(
+            [density, jnp.broadcast_to(density[-1:], (Xp - X, Y, Z))], axis=0
+        )
+    Xs = Xp // S
     thresh = jnp.float32(thresh)
 
     @functools.partial(
@@ -115,10 +122,17 @@ def sharded_marching_cubes(
         occ = g > thresh
         occ_i = occ.astype(jnp.int32)
 
-        # crossings; y/z include the halo row, x covers owned rows only
-        cy = occ[:, :-1, :] != occ[:, 1:, :]  # (Xs+1, Y-1, Z)
-        cz = occ[:, :, :-1] != occ[:, :, 1:]  # (Xs+1, Y, Z-1)
-        cx = occ[:-1] != occ[1:]  # (Xs,   Y,   Z)
+        grow = s * Xs + jnp.arange(Xs + 1)  # global row of local row i
+
+        # crossings; y/z include the halo row, x covers owned rows only.
+        # Rows past the true grid (x-padding for non-divisible X) are
+        # edge-row replicas: their y/z crossings would duplicate the last
+        # real row's, so they are masked against the true row count.
+        rows_ok = (grow < Xv)[:, None, None]
+        cy = (occ[:, :-1, :] != occ[:, 1:, :]) & rows_ok  # (Xs+1, Y-1, Z)
+        cz = (occ[:, :, :-1] != occ[:, :, 1:]) & rows_ok  # (Xs+1, Y, Z-1)
+        cx = (occ[:-1] != occ[1:]) & rows_ok[:Xs]  # (Xs, Y, Z); replicas
+        # never differ so the mask here is defensive only
 
         ny = jnp.sum(cy, axis=(1, 2), dtype=jnp.int32)  # (Xs+1,)
         nz = jnp.sum(cz, axis=(1, 2), dtype=jnp.int32)
@@ -128,15 +142,14 @@ def sharded_marching_cubes(
         # --- global per-row offsets (distributed prefix scan) --------------
         row_tot_all = jax.lax.all_gather(
             row_tot_local, axis_name, tiled=True
-        )  # (X,)
-        row_off = jnp.cumsum(row_tot_all) - row_tot_all  # (X,) identical everywhere
+        )  # (Xp,)
+        row_off = jnp.cumsum(row_tot_all) - row_tot_all  # identical everywhere
         total_v = jnp.sum(row_tot_all)
 
-        grow = s * Xs + jnp.arange(Xs + 1)  # global row of local row i
-        grow_c = jnp.minimum(grow, X - 1)
+        grow_c = jnp.minimum(grow, Xv - 1)
         off = row_off[grow_c]  # (Xs+1,) base id of each visible row
         # out-of-grid halo row (last shard): no vertices, point past end
-        off = jnp.where(grow > X - 1, total_v, off)
+        off = jnp.where(grow > Xv - 1, total_v, off)
 
         # --- vertex ids (global) -------------------------------------------
         idy = off[:, None, None] + _row_ids(cy)  # (Xs+1, Y-1, Z)
@@ -145,8 +158,8 @@ def sharded_marching_cubes(
 
         # --- scatter owned vertices into the per-shard buffer ---------------
         vbase = off[0]
-        vcount = row_off[jnp.minimum((s + 1) * Xs, X - 1)] - vbase
-        vcount = jnp.where((s + 1) * Xs > X - 1, total_v - vbase, vcount)
+        vcount = row_off[jnp.minimum((s + 1) * Xs, Xv - 1)] - vbase
+        vcount = jnp.where((s + 1) * Xs > Xv - 1, total_v - vbase, vcount)
 
         gx0 = (s * Xs).astype(jnp.float32)
 
@@ -207,21 +220,22 @@ def sharded_marching_cubes(
             + occ_i[1:, 1:, 1:] * 64
             + occ_i[:-1, 1:, 1:] * 128
         )  # (Xs, Y-1, Z-1)
-        # mask out cubes whose +x row is outside the grid (defensive; halo
-        # trick already zeroes them) and whose global row >= X-1
-        cube_valid = (grow[:Xs] < X - 1)[:, None, None]
+        # mask out cubes whose +x row is outside the true grid (x-padding
+        # replicas would otherwise emit duplicate geometry via y/z mixing)
+        cube_valid = (grow[:Xs] < Xv - 1)[:, None, None]
         m = jnp.where(cube_valid, m, 0)
         mask = m.reshape(Xs, -1)
 
         ntris = _ntris_vec(mask)  # (Xs, C_row) — vector ops, no gather
         row_f = jnp.sum(ntris, axis=1, dtype=jnp.int32)
-        row_f_all = jax.lax.all_gather(row_f, axis_name, tiled=True)  # (X,)
+        row_f_all = jax.lax.all_gather(row_f, axis_name, tiled=True)  # (Xp,)
         frow_off = jnp.cumsum(row_f_all) - row_f_all
         total_f = jnp.sum(row_f_all)
-        fbase = frow_off[jnp.minimum(s * Xs, X - 1)]
-        fnext = jnp.minimum((s + 1) * Xs, X)
+        fbase = frow_off[jnp.minimum(s * Xs, Xv - 1)]
+        fnext = jnp.minimum((s + 1) * Xs, Xv)
         fcount = jnp.where(
-            fnext >= X, total_f - fbase, frow_off[jnp.minimum(fnext, X - 1)] - fbase
+            fnext >= Xv, total_f - fbase,
+            frow_off[jnp.minimum(fnext, Xv - 1)] - fbase,
         )
 
         # the 12 cube-edge vertex ids (same layout as single-chip, global ids)

@@ -24,13 +24,15 @@ def make_sharded_cast(
     caster: RayCaster, mesh: Mesh, axis_name: str = "data"
 ) -> Callable:
     """Returns jitted ``cast(origins, dirs) -> RayHits`` with rays sharded
-    over ``axis_name`` and geometry replicated. Ray count must divide evenly
-    by the axis size (pad externally otherwise).
+    over ``axis_name`` and geometry replicated. Ray counts that do not
+    divide the axis size are padded internally (dummy rays, results sliced
+    off).
 
     Built on ``shard_map`` — each chip runs the caster on its local ray
     slice, so every backend works unchanged, including the Pallas kernels
     (which pjit auto-partitioning could not split)."""
     spec = P(axis_name)
+    S = mesh.shape[axis_name]
 
     @jax.jit
     @functools.partial(
@@ -40,7 +42,22 @@ def make_sharded_cast(
         out_specs=RayHits(spec, spec, spec),
         check_vma=False,  # caster state is closed-over, replicated
     )
-    def cast(origins, dirs):
+    def cast_impl(origins, dirs):
         return caster.cast(origins, dirs)
+
+    def cast(origins, dirs):
+        origins = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
+        dirs = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)
+        R = origins.shape[0]
+        pad = (-R) % S
+        if pad:
+            origins = jnp.concatenate(
+                [origins, jnp.zeros((pad, 3), jnp.float32)]
+            )
+            dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
+        out = cast_impl(origins, dirs)
+        if pad:
+            out = RayHits(*(a[:R] for a in out))
+        return out
 
     return cast

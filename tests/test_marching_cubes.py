@@ -88,6 +88,32 @@ class TestCountsAndPadding:
         v, f = marching_cubes(grid, 0.0)
         assert v.shape[0] == 0 and f.shape[0] == 0
 
+    def test_default_unit_budget_never_truncates(self):
+        """Sparse crossings (~1.5 per 128-unit, like the 256^3 flagship
+        sphere) must not silently lose geometry under the DEFAULT unit
+        budgets — the round-2 heuristic (capacity//8) dropped the +x
+        hemisphere of the flagship mesh exactly this way."""
+        n = 48
+        x, y, z = np.mgrid[:n, :n, :n].astype(np.float32)
+        c = n / 2.0
+        grid = jnp.asarray(
+            -((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2 - (n / 2.6) ** 2)
+        )
+        v_ref, f_ref = marching_cubes(grid, 0.0)
+        nv_ref = v_ref.shape[0]
+        # generous capacities, DEFAULT (unspecified) unit budgets
+        res = marching_cubes_padded(
+            grid, 0.0,
+            vert_capacity=2 * nv_ref, face_capacity=4 * nv_ref,
+        )
+        assert not bool(res.overflowed)
+        nv = int(res.num_vertices)
+        assert nv == nv_ref
+        got = np.asarray(res.vertices[:nv])
+        want = np.asarray(v_ref)
+        # same bbox and same vertex set (row-major order matches eager)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
 
 class TestScale:
     def test_scale_conventions(self):

@@ -1,10 +1,15 @@
 """Probe flagship-scale pieces on the real chip, one step at a time.
 
-Usage: python tools/flagship_probe.py <stage>
-  counts  - exact MC counts for the 256^3 sphere SDF
+BASELINE.md config 5: 1080p rays, 256^3 grid, gradient to the grid.
+
+Usage: python tools/flagship_probe.py <stage> [out.json]
+  counts  - exact MC counts/unit budgets for the 256^3 sphere SDF
   cast    - streamed MXU cast of 1080p rays vs the extracted mesh
-  step    - full differentiable training step (MC + cast + grad)
+  step    - full differentiable training step (MC + cast + grad);
+            writes the FLAGSHIP artifact when an out.json path is given
+  all     - counts + cast + step
 """
+import json
 import os
 import sys
 import time
@@ -19,105 +24,147 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+N_GRID = 256
+# capacities for the 256^3 sphere (196,128 verts / 392,252 faces measured by
+# the counts stage) with growth headroom, shared by every stage so compiled
+# programs are reused
+VC, FC = 262_144, 425_984  # FC: multiple of 2048 (cluster-pads evenly)
+
 
 def log(*a):
     print(f"[{time.perf_counter():8.1f}s]", *a, flush=True)
 
 
-def sphere_density(n=256, r=0.8):
+def sphere_density(n=N_GRID, r=0.8):
     ax = jnp.linspace(-1.0, 1.0, n)
     x, y, z = jnp.meshgrid(ax, ax, ax, indexing="ij")
     return r - jnp.sqrt(x * x + y * y + z * z)
 
 
+def tight_units(d):
+    """Measured unit budgets (rounded up) for the flagship grid."""
+    from primitive3d_tpu.ops.marching_cubes import _counts_impl, _round_capacity
+
+    nv, nf, vu, cu = (int(q) for q in _counts_impl(d, jnp.float32(0)))
+    return nv, nf, _round_capacity(vu), _round_capacity(cu)
+
+
+def extract(d, vu, cu):
+    from primitive3d_tpu.ops.marching_cubes import marching_cubes_padded
+
+    res = marching_cubes_padded(
+        d, 0.0, vert_capacity=VC, face_capacity=FC,
+        lower=(-1, -1, -1), upper=(1, 1, 1),
+        vert_units=vu, cube_units=cu,
+    )
+    assert not bool(res.overflowed), "flagship capacities overflowed"
+    return res
+
+
+def stage_counts(d):
+    nv, nf, vu, cu = tight_units(d)
+    print(f"256^3 sphere: {nv} verts, {nf} faces, "
+          f"vert_units {vu}, cube_units {cu}")
+    return {"verts": nv, "faces": nf, "vert_units": vu, "cube_units": cu}
+
+
+def stage_cast(d):
+    from primitive3d_tpu.bvh.clusters import build_mxu_clusters
+    from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_mxu
+    from primitive3d_tpu.render.camera import camera_rays
+
+    nv, nf, vu, cu = tight_units(d)
+    res = extract(d, vu, cu)
+    tris = jax.lax.stop_gradient(res.vertices[res.faces])
+    log("faces:", nf, "capacity:", FC)
+    v = np.asarray(res.vertices[: nv])
+    log("mesh bbox:", v.min(0), v.max(0))
+    bvh = build_mxu_clusters(tris)
+    np.asarray(bvh.w2[0, 0, :1])
+    log("clusters:", bvh.num_clusters, "w2 MB:", bvh.w2.size * 2 / 1e6)
+    cam = camera_rays(1088, 1920, (0.0, 0.0, 2.5), (0.0, 0.0, 0.0))
+    o, dirs = jnp.asarray(cam.origins), jnp.asarray(cam.dirs)
+    R = o.shape[0]
+    log("rays:", R)
+    t0 = time.perf_counter()
+    depth, idx = cast_clusters_mxu(bvh, o, dirs, max_dist=10.0, stream=True)
+    np.asarray(depth[:8])
+    log("compile+run1:", time.perf_counter() - t0, "s")
+    t0 = time.perf_counter()
+    K = 5
+    for _ in range(K):
+        depth, idx = cast_clusters_mxu(bvh, o, dirs, max_dist=10.0,
+                                       stream=True)
+    np.asarray(depth[:8])
+    dt = (time.perf_counter() - t0) / K
+    hits = int(jnp.sum(idx >= 0))
+    print(f"cast 1080p: {dt*1e3:.2f} ms = {R/dt/1e6:.1f} Mrays/s, "
+          f"hit fraction {hits/R:.3f}")
+    return {"cast_ms": round(dt * 1e3, 2), "rays_per_s": round(R / dt),
+            "hit_fraction": round(hits / R, 4)}
+
+
+def stage_step(d):
+    from primitive3d_tpu.pipeline import sdf_fitting_loss
+    from primitive3d_tpu.render.camera import camera_rays
+
+    nv, nf, vu, cu = tight_units(d)
+    cam = camera_rays(1088, 1920, (0.0, 0.0, 2.5), (0.0, 0.0, 0.0))
+    o, dirs = jnp.asarray(cam.origins), jnp.asarray(cam.dirs)
+    R = o.shape[0]
+    target = jnp.full((R,), 1.7, jnp.float32)
+
+    lossf = jax.jit(jax.value_and_grad(
+        lambda dd: sdf_fitting_loss(
+            dd, o, dirs, target, thresh=0.0,
+            vert_capacity=VC, face_capacity=FC,
+            vert_units=vu, cube_units=cu,
+            lower=(-1, -1, -1), upper=(1, 1, 1), max_dist=10.0,
+            backend="pallas",
+        )
+    ))
+    t0 = time.perf_counter()
+    loss, g = lossf(d)
+    np.asarray(loss)
+    log("compile+run1:", time.perf_counter() - t0, "s")
+    t0 = time.perf_counter()
+    K = 3
+    for _ in range(K):
+        loss, g = lossf(d)
+    np.asarray(loss)
+    dt = (time.perf_counter() - t0) / K
+    gn = float(jnp.linalg.norm(g))
+    print(f"flagship step: {dt*1e3:.1f} ms, loss={float(loss):.4f}, "
+          f"|g|={gn:.4g}, rays/s={R/dt/1e6:.1f}M")
+    assert np.isfinite(gn) and gn > 0
+    return {"step_ms": round(dt * 1e3, 1), "loss": float(loss),
+            "grad_norm": gn, "rays_per_s": round(R / dt)}
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "counts"
+    out = sys.argv[2] if len(sys.argv) > 2 else None
     print("device:", jax.devices()[0])
     d = sphere_density()
 
-    if stage == "counts":
-        from primitive3d_tpu.ops.marching_cubes import marching_cubes_padded
-        # generous capacities just for counting
-        res = marching_cubes_padded(
-            d, 0.0, vert_capacity=600_000, face_capacity=1_200_000,
-            lower=(-1, -1, -1), upper=(1, 1, 1),
-        )
-        nv = int(res.num_vertices)
-        nf = int(res.num_faces)
-        print(f"256^3 sphere: {nv} verts, {nf} faces")
-        return
-
-    if stage == "cast":
-        from primitive3d_tpu.ops.marching_cubes import marching_cubes_padded
-        from primitive3d_tpu.bvh.clusters import build_mxu_clusters
-        from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_mxu
-        from primitive3d_tpu.render.camera import camera_rays
-
-        FC = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
-        res = marching_cubes_padded(
-            d, 0.0, vert_capacity=FC // 2 + 16_384, face_capacity=FC,
-            lower=(-1, -1, -1), upper=(1, 1, 1),
-        )
-        tris = res.vertices[res.faces]
-        log("faces:", int(res.num_faces), "capacity:", FC)
-        bvh = build_mxu_clusters(tris)
-        np.asarray(bvh.w2[0, 0, :1])
-        log("clusters:", bvh.num_clusters,
-            "w2 MB:", bvh.w2.size * 2 / 1e6)
-        cam = camera_rays(1088, 1920, (0.0, 0.0, 2.5), (0.0, 0.0, 0.0))
-        o, dirs = jnp.asarray(cam.origins), jnp.asarray(cam.dirs)
-        log("rays:", o.shape[0])
-        t0 = time.perf_counter()
-        depth, idx = cast_clusters_mxu(bvh, o, dirs, max_dist=10.0,
-                                       stream=True)
-        np.asarray(depth[:8])
-        log("compile+run1:", time.perf_counter() - t0, "s")
-        t0 = time.perf_counter()
-        N = 5
-        for _ in range(N):
-            depth, idx = cast_clusters_mxu(bvh, o, dirs, max_dist=10.0,
-                                           stream=True)
-        np.asarray(depth[:8])
-        dt = (time.perf_counter() - t0) / N
-        R = o.shape[0]
-        hits = int(jnp.sum(idx >= 0))
-        print(f"cast 1080p: {dt*1e3:.2f} ms = {R/dt/1e6:.1f} Mrays/s, "
-              f"hit fraction {hits/R:.3f}")
-        return
-
-    if stage == "step":
-        from primitive3d_tpu.pipeline import sdf_fitting_loss
-        from primitive3d_tpu.render.camera import camera_rays
-
-        FC = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
-        cam = camera_rays(1088, 1920, (0.0, 0.0, 2.5), (0.0, 0.0, 0.0))
-        o, dirs = jnp.asarray(cam.origins), jnp.asarray(cam.dirs)
-        target = jnp.full((o.shape[0],), 1.7, jnp.float32)
-
-        lossf = jax.jit(jax.value_and_grad(
-            lambda dd: sdf_fitting_loss(
-                dd, o, dirs, target, thresh=0.0,
-                vert_capacity=FC // 2 + 16_384, face_capacity=FC,
-                lower=(-1, -1, -1), upper=(1, 1, 1), max_dist=10.0,
-                backend="pallas",
-            )
-        ))
-        t0 = time.perf_counter()
-        loss, g = lossf(d)
-        np.asarray(loss)
-        print("compile+run1:", time.perf_counter() - t0, "s")
-        t0 = time.perf_counter()
-        N = 3
-        for _ in range(N):
-            loss, g = lossf(d)
-        np.asarray(loss)
-        dt = (time.perf_counter() - t0) / N
-        print(f"flagship step: {dt*1e3:.1f} ms, loss={float(loss):.4f}, "
-              f"|g|={float(jnp.linalg.norm(g)):.4g}, "
-              f"rays/s={o.shape[0]/dt/1e6:.1f}M")
-        return
-
-    raise SystemExit(f"unknown stage {stage}")
+    report = {
+        "config": "BASELINE.md config 5: 1080p rays, 256^3 grid, grad",
+        "grid": N_GRID, "rays": 1088 * 1920,
+        "vert_capacity": VC, "face_capacity": FC,
+        "device": str(jax.devices()[0]),
+    }
+    if stage in ("counts", "all"):
+        report["counts"] = stage_counts(d)
+    if stage in ("cast", "all"):
+        report["cast"] = stage_cast(d)
+    if stage in ("step", "all"):
+        report["step"] = stage_step(d)
+    if stage not in ("counts", "cast", "step", "all"):
+        raise SystemExit(f"unknown stage {stage}")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
