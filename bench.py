@@ -103,6 +103,85 @@ def main():
         vs_baseline=round(rps / 1e8, 4),
     )
 
+    # --- secondary: HBM-streaming tier at 100k / 425k / 1.7M triangles ------
+    try:
+        def subdivide(t):
+            """Midpoint 1->4 triangle subdivision of a (T, 3, 3) soup."""
+            a, b, c = t[:, 0], t[:, 1], t[:, 2]
+            ab, bc, ca = (a + b) / 2, (b + c) / 2, (c + a) / 2
+            return np.stack([
+                np.stack([a, ab, ca], 1), np.stack([ab, b, bc], 1),
+                np.stack([ca, bc, c], 1), np.stack([ab, bc, ca], 1),
+            ], 1).reshape(-1, 3, 3)
+
+        soup = vb[fb]
+        for level in (1, 2, 3):
+            soup = subdivide(soup)
+            T = soup.shape[0]
+            if T > 1_800_000:
+                break
+            cbs = jax.block_until_ready(build_mxu_clusters(jnp.asarray(soup)))
+            sec = amortized(
+                lambda z, cbs=cbs: cast_clusters_mxu(
+                    cbs, oj + z, dj, stream=True)[0][0],
+                K=10,
+            )
+            log(f"raycast[stream] bunny-x{4**level} ({T} tris): "
+                f"{sec*1e3:.2f} ms = {H*W/sec/1e6:.2f} Mrays/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"stream tier section failed: {e}")
+
+    # --- flagship: BASELINE config 5 (1080p rays, 256^3 grid, grad) ---------
+    # Reuses the probe's stage functions verbatim so the HLO matches the
+    # committed FLAGSHIP artifact's programs (persistent-cache hit).
+    try:
+        from tools.flagship_probe import sphere_density, stage_cast, stage_step
+
+        dflag = sphere_density()
+        info_c = stage_cast(dflag)
+        log(f"flagship cast 1080p: {info_c['cast_ms']} ms = "
+            f"{info_c['rays_per_s']/1e6:.1f} Mrays/s")
+        info_s = stage_step(dflag)
+        log(f"flagship step (1080p, 256^3, grad): {info_s['step_ms']} ms = "
+            f"{info_s['rays_per_s']/1e6:.1f} Mrays/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"flagship section failed: {e}")
+
+    # --- sharded paths on all local devices (1 chip here; N on a pod) -------
+    try:
+        from primitive3d_tpu.parallel.mesh import make_mesh
+        from primitive3d_tpu.parallel.raycast import make_sharded_cast
+        from primitive3d_tpu.raycast import create_raycaster
+
+        mesh = make_mesh(axis_name="data")
+        nd = mesh.devices.size
+        rc = create_raycaster(vb, fb, backend="pallas")
+        scast = make_sharded_cast(rc, mesh)
+        sec = amortized(lambda z: scast(oj + z, dj).depth[0], K=10)
+        log(f"raycast[sharded x{nd}]: {sec*1e3:.2f} ms = "
+            f"{H*W/sec/1e6:.2f} Mrays/s")
+
+        from primitive3d_tpu.parallel.marching_cubes import (
+            sharded_marching_cubes)
+        n_ = 128
+        xg, yg, zg = np.mgrid[:n_, :n_, :n_].astype(np.float32)
+        sphg = jnp.asarray(-((xg - n_ / 2) ** 2 + (yg - n_ / 2) ** 2
+                             + (zg - n_ / 2) ** 2 - (n_ / 4) ** 2))
+        meshx = make_mesh(axis_name="x")
+
+        def smc(z):
+            r = sharded_marching_cubes(
+                meshx, sphg + z, 0.0,
+                vert_cap_per_shard=1 << 16, face_cap_per_shard=1 << 17,
+            )
+            return r.vertices[0, 0] + r.face_count[0].astype(jnp.float32)
+
+        sec = amortized(smc, K=5)
+        log(f"MC[sharded x{nd}] {n_}^3: {sec*1e3:.2f} ms = "
+            f"{n_**3/sec/1e6:.1f} Mvox/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"sharded section failed: {e}")
+
     # --- secondary: marching cubes ------------------------------------------
     try:
         from primitive3d_tpu.ops.marching_cubes import (
