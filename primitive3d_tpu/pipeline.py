@@ -44,6 +44,8 @@ def render_depth(
     face_capacity: int,
     lower=None,
     upper=None,
+    vert_units: int = 0,
+    cube_units: int = 0,
     max_dist: float = 10.0,
     chunk: int = 512,
     backend: str = "auto",
@@ -71,6 +73,8 @@ def render_depth(
         face_capacity=face_capacity,
         lower=lower,
         upper=upper,
+        vert_units=vert_units,
+        cube_units=cube_units,
     )
     # Padded face rows are [0,0,0] -> degenerate (v0,v0,v0) triangles -> den=0
     # -> guaranteed miss in the caster; no masking needed.
