@@ -28,7 +28,7 @@ class RayCastConfig:
     mxu_chunk: int = 512  # triangles per MXU tile (all-pairs backend)
     # mesh-size tiers of the pallas backend (see PallasRayCaster)
     mxu_max_tris: int = 32_000  # VMEM-resident Plücker tensor
-    mxu_stream_max_tris: int = 250_000  # HBM-streamed tier
+    mxu_stream_max_tris: int = 2_000_000  # HBM-streamed tier
 
 
 @dataclasses.dataclass(frozen=True)

@@ -704,7 +704,7 @@ def cast_clusters_mxu(
     result convention as :func:`cast_clusters`. By default the whole Plücker
     tensor lives in VMEM (384 B/triangle) — meshes up to ~32k triangles.
     ``stream=True`` keeps it in HBM and DMAs each visited cluster's matrix
-    into VMEM scratch, raising the cap to ~250k triangles; beyond that use
+    into VMEM scratch, raising the cap to ~2M triangles; beyond that use
     :func:`cast_clusters`.
     """
     R = origins.shape[0]

@@ -182,7 +182,10 @@ class PallasRayCaster(RayCaster):
     """
 
     MXU_MAX_TRIS = 32_000  # VMEM-resident w2 tensor (384 B/triangle)
-    MXU_STREAM_MAX_TRIS = 250_000  # HBM-streamed w2; SMEM order is the limit
+    # HBM-streamed w2; the cluster-word work list costs one SMEM word per
+    # cluster (T/128), measured fine past 100 KB, and w2 is 384 B/triangle
+    # in HBM — 2M tris = 16k words + 768 MB
+    MXU_STREAM_MAX_TRIS = 2_000_000
 
     def __init__(self, vertices, faces, max_dist=DEFAULT_MAX_DIST,
                  mxu_max_tris=None, mxu_stream_max_tris=None,
