@@ -865,6 +865,38 @@ def cast_clusters(
     return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
+def _mxu_sidx_nodiff(bvh, origins, dirs, max_dist, interpret, stream,
+                     use_mxu):
+    """Hit finding opaque to AD.
+
+    The hit assignment is discrete, so its tangent is zero by definition —
+    but without this wrapper, jvp tracing still reaches the pallas_call,
+    whose generic jvp rule DOUBLES every operand (primal + tangent); at
+    flagship scale the doubled SMEM work list (2 x B x C words ~ 27 MB)
+    exceeds the 1 MB SMEM and the backward pass fails to compile.
+    """
+    if use_mxu:
+        _, sidx = cast_clusters_mxu(
+            bvh, origins, dirs, max_dist=max_dist, interpret=interpret,
+            stream=stream,
+        )
+    else:
+        _, sidx = cast_clusters(
+            bvh, origins, dirs, max_dist=max_dist, interpret=interpret
+        )
+    return sidx
+
+
+@_mxu_sidx_nodiff.defjvp
+def _mxu_sidx_nodiff_jvp(max_dist, interpret, stream, use_mxu, primals,
+                         tangents):
+    import numpy as np  # float0 tangent for the int32 output
+
+    sidx = _mxu_sidx_nodiff(*primals, max_dist, interpret, stream, use_mxu)
+    return sidx, np.zeros(sidx.shape, dtype=jax.dtypes.float0)
+
+
 def cast_clusters_diff(
     tris: Array,
     origins: Array,
@@ -901,17 +933,12 @@ def cast_clusters_diff(
         bvh = (build_mxu_clusters if use_mxu else build_clusters)(tris_ng)
     o_ng = jax.lax.stop_gradient(origins)
     d_ng = jax.lax.stop_gradient(dirs)
-    if use_mxu:
-        # flagship-scale meshes (capacity-padded 256^3 extractions) exceed
-        # the VMEM-resident Plücker budget: stream clusters from HBM
-        _, sidx = cast_clusters_mxu(
-            bvh, o_ng, d_ng, max_dist=max_dist, interpret=interpret,
-            stream=T > cap,
-        )
-    else:
-        _, sidx = cast_clusters(
-            bvh, o_ng, d_ng, max_dist=max_dist, interpret=interpret
-        )
+    # flagship-scale meshes (capacity-padded 256^3 extractions) exceed the
+    # VMEM-resident Plücker budget: stream clusters from HBM
+    sidx = _mxu_sidx_nodiff(
+        bvh, o_ng, d_ng, float(max_dist), interpret, use_mxu and T > cap,
+        use_mxu,
+    )
     prim = bvh.prim_order[jnp.maximum(sidx, 0)]
     hit = (sidx >= 0) & (prim >= 0)
     tri = tris[jnp.maximum(prim, 0)]
