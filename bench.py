@@ -7,8 +7,12 @@ cubes at 66^3/128^3/256^3 and marching tetrahedra.
 
 Methodology notes (this environment):
   * Only a host fetch truly synchronizes through the TPU tunnel, and each
-    sync round-trip costs ~25-30 ms — so every timing amortizes K dependent
-    iterations inside one jit and fetches a scalar.
+    sync round-trip costs ~25-30 ms REGARDLESS of the work inside the jit —
+    so timings run K dependent iterations inside one jit and take the slope
+    (t(2K) - t(K)) / K, which cancels every constant cost (dispatch,
+    transfer, fetch). A single-loop t(K)/K would overstate per-iter time by
+    floor/K (~0.7 ms at K=40 — measured: a pure-scalar loop body "times" at
+    0.68 ms/iter that way).
   * A watchdog alarm guarantees the one-line JSON is emitted even if a later
     section hangs (the tunnel's remote worker can wedge); sections run
     primary-first so the headline number is captured early.
@@ -49,18 +53,29 @@ def log(msg):
 
 
 def amortized(fn_scalar, K=10):
-    """Median-free amortized seconds/iter: K dependent iterations, one fetch."""
+    """Seconds/iter via the two-length slope (t(2K) - t(K)) / K.
 
-    @jax.jit
-    def looped(z):
-        def body(i, acc):
-            return acc + fn_scalar(acc * 1e-30 + z)
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+    K dependent iterations inside one jit, one scalar fetch; the slope of
+    total time vs iteration count cancels the constant ~27 ms tunnel
+    round-trip that a single-loop t(K)/K would smear over K iterations.
+    """
 
-    float(looped(jnp.float32(0)))  # compile + warm
-    t0 = time.perf_counter()
-    float(looped(jnp.float32(0)))
-    return (time.perf_counter() - t0) / K
+    def timed(k):
+        @jax.jit
+        def looped(z):
+            def body(i, acc):
+                return acc + fn_scalar(acc * 1e-30 + z)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        float(looped(jnp.float32(0)))  # compile + warm
+        best = 1e30
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(looped(jnp.float32(0)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(2 * K) - timed(K)) / K, 1e-9)
 
 
 def main():

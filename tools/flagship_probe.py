@@ -35,6 +35,29 @@ def log(*a):
     print(f"[{time.perf_counter():8.1f}s]", *a, flush=True)
 
 
+def slope_time(fn, k):
+    """Seconds/call via the two-length slope (t(2k) - t(k)) / k.
+
+    ``fn()`` dispatches async device work and returns an array; a tiny fetch
+    of the last result synchronizes. The host fetch through the TPU tunnel
+    costs a constant ~27 ms regardless of the enqueued work, so t(k)/k alone
+    would overstate per-call time by floor/k; the slope cancels it.
+    """
+
+    def timed(n):
+        best = 1e30
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn()
+            np.asarray(out[:1] if hasattr(out, "shape") else out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    fn()  # warm
+    return max((timed(2 * k) - timed(k)) / k, 1e-9)
+
+
 def sphere_density(n=N_GRID, r=0.8):
     ax = jnp.linspace(-1.0, 1.0, n)
     x, y, z = jnp.meshgrid(ax, ax, ax, indexing="ij")
@@ -90,13 +113,9 @@ def stage_cast(d):
     depth, idx = cast_clusters_mxu(bvh, o, dirs, max_dist=10.0, stream=True)
     np.asarray(depth[:8])
     log("compile+run1:", time.perf_counter() - t0, "s")
-    t0 = time.perf_counter()
-    K = 5
-    for _ in range(K):
-        depth, idx = cast_clusters_mxu(bvh, o, dirs, max_dist=10.0,
-                                       stream=True)
-    np.asarray(depth[:8])
-    dt = (time.perf_counter() - t0) / K
+    dt = slope_time(
+        lambda: cast_clusters_mxu(bvh, o, dirs, max_dist=10.0,
+                                  stream=True)[0], 5)
     hits = int(jnp.sum(idx >= 0))
     print(f"cast 1080p: {dt*1e3:.2f} ms = {R/dt/1e6:.1f} Mrays/s, "
           f"hit fraction {hits/R:.3f}")
@@ -127,12 +146,7 @@ def stage_step(d):
     loss, g = lossf(d)
     np.asarray(loss)
     log("compile+run1:", time.perf_counter() - t0, "s")
-    t0 = time.perf_counter()
-    K = 3
-    for _ in range(K):
-        loss, g = lossf(d)
-    np.asarray(loss)
-    dt = (time.perf_counter() - t0) / K
+    dt = slope_time(lambda: lossf(d)[0], 3)
     gn = float(jnp.linalg.norm(g))
     print(f"flagship step: {dt*1e3:.1f} ms, loss={float(loss):.4f}, "
           f"|g|={gn:.4g}, rays/s={R/dt/1e6:.1f}M")
