@@ -31,7 +31,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-RESULT = {"metric": "bench_incomplete", "value": 0, "unit": "rays/s", "vs_baseline": 0.0}
+RESULT = {"metric": "bench_incomplete", "value": 0, "unit": "rays/s",
+          "vs_baseline": 0.0}
 _printed = False
 
 

@@ -19,7 +19,8 @@ if __name__ == "__main__":
         p3d.save_mesh(vertices, faces, filename="bunny.ply")
     # golden parity (captured from the numpy oracle; see tools/gen_goldens.py)
     golden = np.load(
-        os.path.join(os.path.dirname(__file__), "..", "tests", "goldens", "bunny_mc.npz")
+        os.path.join(os.path.dirname(__file__), "..", "tests", "goldens",
+                     "bunny_mc.npz")
     )
     assert vertices.shape[0] == golden["v"].shape[0]
     assert faces.shape[0] == golden["f"].shape[0]

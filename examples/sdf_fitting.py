@@ -20,7 +20,8 @@ import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
 from primitive3d_tpu.pipeline import sdf_fitting_loss, render_depth  # noqa: E402
-from primitive3d_tpu.parallel.mesh import make_mesh, replicated, sharded_along  # noqa: E402
+from primitive3d_tpu.parallel.mesh import (  # noqa: E402
+    make_mesh, replicated, sharded_along)
 
 N = 24
 VC, FC = 4096, 8192

@@ -29,6 +29,7 @@ class BvhRayCaster(RayCaster):
     def cast(self, origins, directions) -> RayHits:
         o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
         d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+        self._debug_check_rays(o, d)
         if self.bvh is None:
             return _cast_bruteforce(
                 self.triangles, o, d, jnp.float32(self.max_dist), 8

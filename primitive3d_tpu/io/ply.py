@@ -84,7 +84,9 @@ def save_mesh(
         print(f"save as {filename} successfully!")
 
 
-def load_mesh(filename: PathLike) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+def load_mesh(
+    filename: PathLike,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Load a PLY written by :func:`save_mesh` (binary LE, xyz+rgb, int faces).
 
     Returns (vertices float32 (N,3), faces int32 (F,3), colors uint8 (N,3) or

@@ -15,7 +15,9 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
 _SO = os.path.join(_DIR, "libprim3d_native.so")
 _lib = None
 _tried = False

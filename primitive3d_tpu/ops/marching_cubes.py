@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import debug
 from ..core.grid import ScaleLike, resolve_bounds
 from . import mc_tables as T
 
@@ -640,10 +641,17 @@ def marching_cubes_padded(
     lo = jnp.asarray([0.0, 0.0, 0.0] if lower is None else lower, jnp.float32)
     up = jnp.asarray([X, Y, Z] if upper is None else upper, jnp.float32)
     fused = 1 if jax.default_backend() in ("tpu", "axon") else 0
-    return _mc_padded_impl(
+    res = _mc_padded_impl(
         density, jnp.float32(thresh), lo, up, int(vert_capacity),
         int(face_capacity), int(vert_units), int(cube_units), fused
     )
+    debug.check(
+        jnp.logical_not(jnp.asarray(res.overflowed)),
+        "marching_cubes_padded: capacity overflow "
+        "(counted {v} verts / {f} faces)",
+        v=res.num_vertices, f=res.num_faces,
+    )
+    return res
 
 
 def _round_capacity(n: int) -> int:

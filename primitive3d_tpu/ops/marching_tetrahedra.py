@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import debug
 from .marching_cubes import _masked_compact_cols
 
 Array = jax.Array
@@ -232,6 +233,11 @@ def marching_tetrahedra_padded(
         raise ValueError(f"tets must be (T, 4), got {tets.shape}")
     if sdf.shape != (vertices.shape[0],):
         raise ValueError(f"sdf must be (N,), got {sdf.shape}")
+    debug.check(
+        jnp.all((tets >= 0) & (tets < vertices.shape[0])),
+        "marching_tetrahedra: tet vertex index out of range",
+    )
+    debug.check_finite(sdf, "sdf")
     return _mt_padded_impl(
         vertices, tets, sdf, int(vert_capacity), int(face_capacity)
     )

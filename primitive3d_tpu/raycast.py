@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .core import debug
 from .geometry import triangle as tri_ops
 
 Array = jax.Array
@@ -146,6 +147,16 @@ class RayCaster:
     def invoke(self, origins, directions) -> RayHits:
         return self.cast(origins, directions)
 
+    @staticmethod
+    def _debug_check_rays(o, d) -> None:
+        """Device-side ray sanity (no-op unless core.debug checks are on)."""
+        debug.check_finite(o, "ray origins")
+        debug.check_finite(d, "ray directions")
+        debug.check(
+            jnp.all(jnp.sum(d * d, axis=-1) > 0.0),
+            "ray directions contain zero-length vectors",
+        )
+
 
 class MxuRayCaster(RayCaster):
     """Exact all-pairs caster on the MXU (see mxu_cast.py). Default backend."""
@@ -162,6 +173,7 @@ class MxuRayCaster(RayCaster):
 
         o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
         d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+        self._debug_check_rays(o, d)
         depth, idx = cast_mxu(
             self.w, o, d, jnp.float32(self.max_dist), self.chunk
         )
@@ -209,6 +221,7 @@ class PallasRayCaster(RayCaster):
 
         o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
         d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+        self._debug_check_rays(o, d)
         interpret = jax.default_backend() not in ("tpu", "axon")
         if self.use_mxu:
             depth, sidx = cast_clusters_mxu(
@@ -235,6 +248,7 @@ class BruteForceRayCaster(RayCaster):
     def cast(self, origins, directions) -> RayHits:
         o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
         d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+        self._debug_check_rays(o, d)
         return _cast_bruteforce(
             self.triangles, o, d, jnp.float32(self.max_dist), self.chunk
         )

@@ -20,7 +20,8 @@ TILE = 16  # 16*16 == RCHUNK of the MXU kernel: one chunk = one image quad
 class CameraRays(NamedTuple):
     origins: np.ndarray  # (H*W, 3) float32, tile-blocked order
     dirs: np.ndarray  # (H*W, 3) float32, unit length
-    inv_order: np.ndarray  # (H*W,) int32: ray/result i belongs to flat pixel inv_order[i]
+    # (H*W,) int32: ray/result i belongs to flat pixel inv_order[i]
+    inv_order: np.ndarray
 
     def to_image(self, values: np.ndarray, H: int, W: int) -> np.ndarray:
         """Unscramble per-ray results back into an (H, W, ...) image."""
