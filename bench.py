@@ -53,26 +53,31 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def amortized(fn_scalar, K=10):
+def amortized(fn_scalar, K=10, *operands):
     """Seconds/iter via the two-length slope (t(2K) - t(K)) / K.
 
     K dependent iterations inside one jit, one scalar fetch; the slope of
     total time vs iteration count cancels the constant ~27 ms tunnel
     round-trip that a single-loop t(K)/K would smear over K iterations.
+
+    Large arrays MUST be passed via ``operands`` (forwarded as
+    ``fn_scalar(z, *operands)``) rather than closed over: a closure constant
+    is embedded in the serialized HLO and blows the tunnel's remote-compile
+    request size limit (a 650 MB Plücker tensor did, HTTP 413).
     """
 
     def timed(k):
         @jax.jit
-        def looped(z):
+        def looped(z, *ops):
             def body(i, acc):
-                return acc + fn_scalar(acc * 1e-30 + z)
+                return acc + fn_scalar(acc * 1e-30 + z, *ops)
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-        float(looped(jnp.float32(0)))  # compile + warm
+        float(looped(jnp.float32(0), *operands))  # compile + warm
         best = 1e30
         for _ in range(2):
             t0 = time.perf_counter()
-            float(looped(jnp.float32(0)))
+            float(looped(jnp.float32(0), *operands))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -109,7 +114,9 @@ def main():
     log(f"pallas hit fraction: {hit_frac:.3f}")
     assert 0.05 < hit_frac < 0.95, "camera setup wrong"
 
-    sec = amortized(lambda z: cast_clusters_mxu(cb, oj + z, dj)[0][0], K=40)
+    sec = amortized(
+        lambda z, cb_, o_, d_: cast_clusters_mxu(cb_, o_ + z, d_)[0][0],
+        40, cb, oj, dj)
     rps = H * W / sec
     log(f"raycast[pallas] bunny {H}x{W}: {sec*1e3:.2f} ms = {rps/1e6:.2f} Mrays/s")
     RESULT.update(
@@ -138,9 +145,9 @@ def main():
                 break
             cbs = jax.block_until_ready(build_mxu_clusters(jnp.asarray(soup)))
             sec = amortized(
-                lambda z, cbs=cbs: cast_clusters_mxu(
-                    cbs, oj + z, dj, stream=True)[0][0],
-                K=10,
+                lambda z, cbs_, o_, d_: cast_clusters_mxu(
+                    cbs_, o_ + z, d_, stream=True)[0][0],
+                10, cbs, oj, dj,
             )
             log(f"raycast[stream] bunny-x{4**level} ({T} tris): "
                 f"{sec*1e3:.2f} ms = {H*W/sec/1e6:.2f} Mrays/s")

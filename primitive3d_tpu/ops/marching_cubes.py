@@ -640,7 +640,11 @@ def marching_cubes_padded(
     X, Y, Z = density.shape
     lo = jnp.asarray([0.0, 0.0, 0.0] if lower is None else lower, jnp.float32)
     up = jnp.asarray([X, Y, Z] if upper is None else upper, jnp.float32)
-    fused = 1 if jax.default_backend() in ("tpu", "axon") else 0
+    # respect an enclosing jax.default_device(...) scope (the cpu= fallback):
+    # the fused Pallas mask kernel only lowers on TPU
+    dev = jax.config.jax_default_device
+    plat = dev.platform if dev is not None else jax.default_backend()
+    fused = 1 if plat in ("tpu", "axon") else 0
     res = _mc_padded_impl(
         density, jnp.float32(thresh), lo, up, int(vert_capacity),
         int(face_capacity), int(vert_units), int(cube_units), fused
@@ -665,6 +669,7 @@ def marching_cubes(
     thresh: float,
     scale: Optional[ScaleLike] = None,
     verbose: bool = False,
+    cpu: bool = False,
 ) -> Tuple[Array, Array]:
     """Eager marching cubes: exact-size (vertices, faces), reference-style API.
 
@@ -674,7 +679,18 @@ def marching_cubes(
     faces. Performs one device→host sync for the counts (the reference does
     the same readback, marching_cubes.cu:251-252), then runs the fused padded
     kernel and trims.
+
+    ``cpu=True`` runs the extraction on the host CPU backend (the analog of
+    the reference's PyMCubes fallback, marching_cubes.py:66-81) — same
+    implementation, same output convention (the reference's CPU path divides
+    by scale where its GPU path multiplies, marching_cubes.py:76-78 vs
+    marching_cubes.cu:298; here both agree — see CHANGES.md).
     """
+    if cpu:
+        cpu_dev = jax.devices("cpu")[0]
+        density = jax.device_put(jnp.asarray(density, jnp.float32), cpu_dev)
+        with jax.default_device(cpu_dev):
+            return marching_cubes(density, thresh, scale, verbose, cpu=False)
     density = jnp.asarray(density, jnp.float32)
     if density.ndim != 3 or min(density.shape) < 2:
         raise ValueError(

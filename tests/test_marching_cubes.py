@@ -46,6 +46,19 @@ class TestParity:
         v, f = marching_cubes(grid, 0.0)
         assert_meshes_equal(np.asarray(v), np.asarray(f), golden["v"], golden["f"])
 
+    def test_cpu_fallback_matches_default(self):
+        # the reference's cpu= PyMCubes fallback analog
+        # (prim3d/utility/marching_cubes.py:66-81): same implementation on
+        # the host CPU backend, same output convention
+        grid = -sphere_grid(16)
+        v, f = marching_cubes(grid, 0.0)
+        vc, fc = marching_cubes(grid, 0.0, cpu=True)
+        assert vc.devices() == {jax.devices("cpu")[0]}
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(fc))
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(vc), rtol=0, atol=1e-5
+        )
+
     def test_random_grids_match_oracle(self):
         rng = np.random.default_rng(0)
         for _ in range(3):

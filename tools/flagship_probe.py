@@ -7,6 +7,8 @@ Usage: python tools/flagship_probe.py <stage> [out.json]
   cast    - streamed MXU cast of 1080p rays vs the extracted mesh
   step    - full differentiable training step (MC + cast + grad);
             writes the FLAGSHIP artifact when an out.json path is given
+  split   - per-sub-stage timing (MC / bvh build / prep / kernel /
+            forward / backward) + kernel visit statistics
   all     - counts + cast + step
 """
 import json
@@ -50,7 +52,8 @@ def slope_time(fn, k):
             t0 = time.perf_counter()
             for _ in range(n):
                 out = fn()
-            np.asarray(out[:1] if hasattr(out, "shape") else out)
+            # fetch one element to sync (0-dim results fetch whole)
+            np.asarray(out.ravel()[:1] if getattr(out, "ndim", 0) else out)
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -155,6 +158,108 @@ def stage_step(d):
             "grad_norm": gn, "rays_per_s": round(R / dt)}
 
 
+def stage_split(d):
+    """Per-sub-stage timing + visit stats for the flagship cast and step."""
+    from primitive3d_tpu.bvh.clusters import build_mxu_clusters
+    from primitive3d_tpu.kernels.raycast_kernel import (
+        MBLOCK, NCH, _mxu_prep, cast_clusters_mxu)
+    from primitive3d_tpu.pipeline import render_depth, sdf_fitting_loss
+    from primitive3d_tpu.render.camera import camera_rays
+
+    nv, nf, vu, cu = tight_units(d)
+    cam = camera_rays(1088, 1920, (0.0, 0.0, 2.5), (0.0, 0.0, 0.0))
+    o, dirs = jnp.asarray(cam.origins), jnp.asarray(cam.dirs)
+    R = o.shape[0]
+
+    # -- MC extract alone --------------------------------------------------
+    @jax.jit
+    def ext(dd):
+        res = extract_nocheck(dd, vu, cu)
+        return res.vertices, res.faces, res.overflowed
+
+    v, f, ov = ext(d)
+    assert not bool(ov)
+    t_mc = slope_time(lambda: ext(d)[0], 5)
+    log(f"MC extract: {t_mc*1e3:.1f} ms")
+
+    # -- de-index + cluster build alone ------------------------------------
+    @jax.jit
+    def bld(v, f):
+        return build_mxu_clusters(v[f])
+
+    bvh = bld(v, f)
+    np.asarray(bvh.w2[0, 0, :1])
+    t_bvh = slope_time(lambda: bld(v, f).w2, 5)
+    log(f"de-index + mxu cluster build: {t_bvh*1e3:.1f} ms "
+        f"({bvh.num_clusters} clusters)")
+
+    # -- prep alone + visit stats ------------------------------------------
+    pad = (-R) % MBLOCK
+    op = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+    dp = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
+
+    @jax.jit
+    def prep_fn(z):
+        n, work, r2 = _mxu_prep(bvh, op + z, dp, 10.0, True)
+        return n[:, 0, 0].astype(jnp.float32).sum() + r2[
+            0, 0, 0, 0].astype(jnp.float32)
+
+    t_prep = slope_time(lambda: prep_fn(jnp.float32(0)), 5)
+    n, work, _ = _mxu_prep(bvh, op, dp, 10.0, True)
+    words = np.asarray(work)[:, 0]
+    masks = words & 0xFF
+    visits = int(np.unpackbits(masks.astype(np.uint8)[..., None],
+                               axis=-1).sum())
+    ncl = int(np.asarray(n).sum())
+    B = op.shape[0] // MBLOCK
+    # one visit = one (48, 4S)x(48, RCHUNK) bf16 matmul
+    flop = visits * 2 * 48 * 4 * bvh.cluster_size * 256
+    log(f"prep: {t_prep*1e3:.1f} ms; {ncl} cluster entries, {visits} visits "
+        f"({visits/B:.0f}/block, {visits/(B*NCH):.1f}/chunk); "
+        f"matmul work {flop/1e12:.2f} TFLOP "
+        f"-> {flop/197e12*1e3:.1f} ms at MXU peak")
+
+    # -- full cast ----------------------------------------------------------
+    t_cast = slope_time(
+        lambda: cast_clusters_mxu(bvh, o, dirs, max_dist=10.0,
+                                  stream=True)[0], 5)
+    log(f"cast total: {t_cast*1e3:.1f} ms = {R/t_cast/1e6:.1f} Mrays/s "
+        f"(kernel ~{(t_cast-t_prep)*1e3:.1f} ms)")
+
+    # -- forward render vs full grad step ------------------------------------
+    target = jnp.full((R,), 1.7, jnp.float32)
+    kw = dict(thresh=0.0, vert_capacity=VC, face_capacity=FC,
+              vert_units=vu, cube_units=cu, lower=(-1, -1, -1),
+              upper=(1, 1, 1), max_dist=10.0, backend="pallas")
+
+    fwd = jax.jit(lambda dd: render_depth(dd, o, dirs, **kw).depth)
+    np.asarray(fwd(d)[:1])
+    t_fwd = slope_time(lambda: fwd(d), 3)
+    log(f"forward render_depth: {t_fwd*1e3:.1f} ms")
+
+    lossf = jax.jit(jax.value_and_grad(
+        lambda dd: sdf_fitting_loss(dd, o, dirs, target, **kw)))
+    np.asarray(lossf(d)[0])
+    t_step = slope_time(lambda: lossf(d)[0], 3)
+    log(f"grad step: {t_step*1e3:.1f} ms (backward ~{(t_step-t_fwd)*1e3:.1f} ms)")
+    return {
+        "mc_ms": round(t_mc * 1e3, 1), "bvh_ms": round(t_bvh * 1e3, 1),
+        "prep_ms": round(t_prep * 1e3, 1), "cast_ms": round(t_cast * 1e3, 1),
+        "fwd_ms": round(t_fwd * 1e3, 1), "step_ms": round(t_step * 1e3, 1),
+        "visits": visits, "entries": ncl,
+    }
+
+
+def extract_nocheck(d, vu, cu):
+    from primitive3d_tpu.ops.marching_cubes import marching_cubes_padded
+
+    return marching_cubes_padded(
+        d, 0.0, vert_capacity=VC, face_capacity=FC,
+        lower=(-1, -1, -1), upper=(1, 1, 1),
+        vert_units=vu, cube_units=cu,
+    )
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "counts"
     out = sys.argv[2] if len(sys.argv) > 2 else None
@@ -173,7 +278,9 @@ def main():
         report["cast"] = stage_cast(d)
     if stage in ("step", "all"):
         report["step"] = stage_step(d)
-    if stage not in ("counts", "cast", "step", "all"):
+    if stage == "split":
+        report["split"] = stage_split(d)
+    if stage not in ("counts", "cast", "step", "split", "all"):
         raise SystemExit(f"unknown stage {stage}")
     if out:
         with open(out, "w") as fh:
