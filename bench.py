@@ -211,18 +211,20 @@ def main():
             _counts_impl, _round_capacity)
 
         def tight(g):
-            nv, nf, vu, cu = (int(q) for q in _counts_impl(g, jnp.float32(0)))
+            nv, nf, vu, cu, na = (
+                int(q) for q in _counts_impl(g, jnp.float32(0)))
             return (_round_capacity(nv), _round_capacity(nf),
-                    _round_capacity(vu), _round_capacity(cu))
+                    _round_capacity(vu), _round_capacity(cu),
+                    _round_capacity(na))
 
         def mc_bench(name, grid, K):
             try:
-                vc, fc, vu, cu = tight(grid)
+                vc, fc, vu, cu, na = tight(grid)
 
                 def mcg(zz):
                     r = p3d.marching_cubes_padded(
                         grid + zz, 0.0, vert_capacity=vc, face_capacity=fc,
-                        vert_units=vu, cube_units=cu
+                        vert_units=vu, cube_units=cu, active_capacity=na
                     )
                     return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
 

@@ -39,6 +39,7 @@ class MarchingCubesConfig:
     face_capacity: Optional[int] = None
     vert_units: int = 0  # compaction unit budgets (0 = derived)
     cube_units: int = 0
+    active_capacity: int = 0  # active-cube budget (0 = face_capacity)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -369,8 +369,9 @@ MBLOCK = 2048  # rays per program of the MXU kernel
 NCH = MBLOCK // RCHUNK
 
 
-def _kernel_mxu_stream(n_ref, entries_ref, w2_ref, r2_ref, depth_ref,
-                       idx_ref, w2s_ref, sem_w2, *, cluster_size, max_dist):
+def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
+                       depth_ref, idx_ref, w2s_ref, sem_w2, *, cluster_size,
+                       max_dist):
     """HBM-streaming tier of the MXU cluster caster.
 
     Work list is one word per flagged cluster — ``(c << 8) | chunk_mask``
@@ -379,6 +380,17 @@ def _kernel_mxu_stream(n_ref, entries_ref, w2_ref, r2_ref, depth_ref,
     HBM -> VMEM through a 2-slot double buffer: entry e+1's fetch is started
     before entry e is processed, so the copy rides under e's 1-8 matmuls
     instead of serialising with them.
+
+    Entries arrive FRONT-TO-BACK (sorted by the cluster's conservative entry
+    lower bound over its flagged chunks, ``bounds_ref``), and the kernel
+    keeps an NCH-bit convergence mask: chunk r is skipped once
+    ``max(best[r]) <= bound[e]`` — every ray in the chunk already has a hit
+    closer than any remaining cluster's entry point, so skipping is EXACT
+    (the occlusion early-out of the reference's sorted-stack traversal,
+    reference: src/prim3d/Geometry/bvh.cu:183-187, at chunk granularity).
+    The mask refreshes every 4th entry (8 vector->scalar max-reduces cost a
+    fraction of one visit's epilogue); the whole block exits when all chunks
+    have converged.
     """
     S = cluster_size
     tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, RCHUNK), 0)
@@ -394,6 +406,7 @@ def _kernel_mxu_stream(n_ref, entries_ref, w2_ref, r2_ref, depth_ref,
     n = n_ref[0, 0, 0]
     best0 = jnp.full((NCH, RCHUNK), max_dist, jnp.float32)
     idx0 = jnp.full((NCH, RCHUNK), -1, jnp.int32)
+    ALL = jnp.int32((1 << NCH) - 1)
 
     def epilogue(c, r, full, best, bidx):
         s0 = full[0 * S:1 * S]
@@ -427,11 +440,24 @@ def _kernel_mxu_stream(n_ref, entries_ref, w2_ref, r2_ref, depth_ref,
         start_fetch(0)
 
     def body(st):
-        e, best, bidx = st
+        e, conv, best, bidx = st
         word = entries_ref[0, 0, e]
         c = word >> 8
-        mask = word & 0xFF
         slot = e & 1
+
+        def refresh(_):
+            bnd = bounds_ref[0, 0, e]
+            bits = jnp.int32(0)
+            for r in range(NCH):
+                bits |= jnp.where(
+                    jnp.max(best[r]) <= bnd, jnp.int32(1 << r), 0
+                )
+            return bits
+
+        conv = jax.lax.cond(
+            (e & 3) == 0, refresh, lambda _: conv, None
+        )
+        mask = word & 0xFF & ~conv
 
         @pl.when(e + 1 < n)
         def _():
@@ -450,11 +476,24 @@ def _kernel_mxu_stream(n_ref, entries_ref, w2_ref, r2_ref, depth_ref,
             best, bidx = jax.lax.cond(
                 (mask >> r) & 1 != 0, do, lambda cr: cr, (best, bidx)
             )
-        return e + 1, best, bidx
+        return e + 1, conv, best, bidx
 
-    _, best, bidx = jax.lax.while_loop(
-        lambda st: st[0] < n, body, (jnp.int32(0), best0, idx0)
+    def cond(st):
+        return (st[0] < n) & (st[1] != ALL)
+
+    ef, _, best, bidx = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), best0, idx0)
     )
+
+    # early convergence exit leaves entry ef's prefetch in flight — drain it
+    # so the scratch DMA semaphore is clean at kernel end
+    @pl.when(ef < n)
+    def _():
+        pltpu.make_async_copy(
+            w2_ref.at[entries_ref[0, 0, ef] >> 8], w2s_ref.at[ef & 1],
+            sem_w2.at[ef & 1],
+        ).wait()
+
     depth_ref[0] = best
     idx_ref[0] = bidx
 
@@ -610,7 +649,10 @@ def _interval_cull(boxes, rint, max_dist):
             fr = jnp.maximum(fr, q)
         tl = nr if tl is None else jnp.maximum(tl, nr)
         th = fr if th is None else jnp.minimum(th, fr)
-    return (tl <= th) & (th >= 0.0) & (tl < max_dist)
+    ok = (tl <= th) & (th >= 0.0) & (tl < max_dist)
+    # tl is a conservative lower bound on any chunk ray's box-entry time —
+    # the front-to-back ordering / convergence bound of the stream kernel
+    return ok, jnp.maximum(tl, 0.0)
 
 
 def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
@@ -655,7 +697,7 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
     rint = jnp.concatenate([oint, ivint], axis=-1)  # (B, NCH, 12)
 
     # flat work list from the interval cull
-    ok = _interval_cull(bvh.boxes, rint, max_dist)  # (B, NCH, C)
+    ok, tl = _interval_cull(bvh.boxes, rint, max_dist)  # (B, NCH, C)
     # drop degenerate clusters (zero-extent boxes): capacity-padded meshes
     # (marching_cubes_padded -> vertices[faces] with 0-padded faces) produce
     # whole clusters of point triangles that can never be hit but whose
@@ -669,12 +711,20 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
         cmask = jnp.sum(okc.astype(jnp.int32) * bits, axis=-1)  # (B, C)
         cid = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
         words = (cid << 8) | cmask
-        _, entries = jax.lax.sort(
-            (jnp.where(cmask > 0, 0, 1).astype(jnp.int32), words),
-            dimension=1, num_keys=1, is_stable=True,
+        # front-to-back: sort flagged clusters by their entry lower bound
+        # (min over flagged chunks); the sorted bounds ride along to SMEM as
+        # the kernel's convergence thresholds
+        tlc = tl.transpose(0, 2, 1)  # (B, C, NCH)
+        bound = jnp.min(
+            jnp.where(okc, tlc, jnp.float32(3.0e38)), axis=-1
+        )  # (B, C)
+        flagged = (cmask > 0).astype(jnp.int32)
+        _, _, entries, sbound = jax.lax.sort(
+            (1 - flagged, bound, words, bound),
+            dimension=1, num_keys=2, is_stable=True,
         )
         n = jnp.sum(cmask > 0, axis=1).astype(jnp.int32)[:, None, None]
-        return n, entries[:, None], r2
+        return n, entries[:, None], sbound[:, None], r2
 
     # (cluster, chunk) pairs compacted to the front, cluster-major
     okt = ok.transpose(0, 2, 1).reshape(B, C * NCH)
@@ -684,7 +734,7 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
         num_keys=1, is_stable=True,
     )
     n = jnp.sum(okt, axis=1).astype(jnp.int32)[:, None, None]  # (B, 1, 1)
-    return n, pairs[:, None], r2
+    return n, pairs[:, None], None, r2
 
 
 @functools.partial(
@@ -713,7 +763,7 @@ def cast_clusters_mxu(
     d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
     Rp = R + pad
     B = Rp // MBLOCK
-    n, work, r2 = _mxu_prep(bvh, o, d, float(max_dist), stream)
+    n, work, bounds, r2 = _mxu_prep(bvh, o, d, float(max_dist), stream)
     C = bvh.num_clusters
     r2_spec = pl.BlockSpec((1, NCH, 48, RCHUNK), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -727,12 +777,14 @@ def cast_clusters_mxu(
                           memory_space=pltpu.SMEM)
 
     if stream:
+        csmem = pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
         grid_spec = pl.GridSpec(
             grid=(B,),
             in_specs=[
                 n_spec,
-                pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),  # entries
+                csmem,  # entries
+                csmem,  # per-entry front-to-back bounds (f32)
                 pl.BlockSpec(memory_space=pl.ANY),  # w2 stays in HBM
                 r2_spec,
             ],
@@ -746,6 +798,13 @@ def cast_clusters_mxu(
             _kernel_mxu_stream, cluster_size=bvh.cluster_size,
             max_dist=float(max_dist),
         )
+        depth, idx = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(n, work, bounds, bvh.w2, r2)
+        return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]
     else:
         grid_spec = pl.GridSpec(
             grid=(B,),

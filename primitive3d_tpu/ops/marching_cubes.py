@@ -46,6 +46,8 @@ Array = jax.Array
 # the 16-wide minor dim to 128 lanes (8x memory blowup at 256^3).
 _TRI_TABLE_T = jnp.asarray(T.TRI_TABLE.astype(np.int32).T)
 _NUM_TRIS = jnp.asarray(T.NUM_TRIS)  # (256,)
+# flat (256*5,) packed per-triangle edge info (see mc_tables.PACKED_TRI)
+_PACKED_TRI_FLAT = jnp.asarray(T.PACKED_TRI.reshape(-1))
 MAX_TRIS_PER_CUBE = T.MAX_TRIS_PER_CUBE
 
 # NUM_TRIS values are 3 bits; pack bit b of all 256 entries into eight
@@ -430,7 +432,8 @@ def _counts_impl(density: Array, thresh: Array, thresh_is_dynamic: bool = True):
     ).astype(jnp.int8)
     vunits = _units_occupied(mask_flat)
     cunits = _units_occupied((ntris > 0).astype(jnp.int8).reshape(-1))
-    return nv, nf, vunits, cunits
+    n_active = jnp.sum(ntris > 0, dtype=jnp.int32)
+    return nv, nf, vunits, cunits, n_active
 
 
 def marching_cubes_counts(
@@ -471,7 +474,7 @@ def _edge_vertex_data(density: Array, thresh: Array, occ: Array):
     jax.jit,
     static_argnames=(
         "vert_capacity", "face_capacity", "vert_units", "cube_units",
-        "fused_masks_mode",
+        "fused_masks_mode", "active_capacity",
     ),
 )
 def _mc_padded_impl(
@@ -484,6 +487,7 @@ def _mc_padded_impl(
     vert_units: int = 0,
     cube_units: int = 0,
     fused_masks_mode: int = 0,  # 0: XLA stencils, 1: fused Pallas kernel
+    active_capacity: int = 0,  # 0: face_capacity (always safe)
 ) -> MCResult:
     X, Y, Z = density.shape
     if fused_masks_mode:
@@ -492,12 +496,9 @@ def _mc_padded_impl(
         cx, cy, cz, cmask = fused_masks(
             jax.lax.stop_gradient(density), thresh
         )
-        ids_x, ids_y, ids_z = _edge_ids(cx, cy, cz)
     else:
         occ = density > thresh
-        (cx, cy, cz), (ids_x, ids_y, ids_z) = _edge_vertex_data(
-            density, thresh, occ
-        )
+        cx, cy, cz = _crossing_masks(occ)
         cmask = None
 
     # --- vertices: two-level selection + sparse positions --------------------
@@ -509,6 +510,11 @@ def _mc_padded_impl(
     mask_flat = jnp.concatenate(
         [c.reshape(-1) for c in (cx, cy, cz)]
     ).astype(jnp.int8)
+    # ONE exclusive scan over the concatenated crossing mask doubles as the
+    # global vertex numbering for all three axes (x-edges first, then y, z —
+    # exactly the compaction order), so the face pass needs a single id
+    # gather instead of three per-axis ones.
+    ids_all = _excl_cumsum_flat(mask_flat.astype(jnp.int32))
     E = mask_flat.shape[0]
     m2v, ucnt_v = _unit_view(mask_flat)  # shared: counts + compaction
     num_vertices = jnp.sum(ucnt_v)
@@ -523,35 +529,6 @@ def _mc_padded_impl(
     v_ovf = jnp.sum(ucnt_v > 0, dtype=jnp.int32) > vu
 
     # --- faces ---------------------------------------------------------------
-    # Vertex-id lookup grids, one per axis (the reference materialises a dense
-    # (X,Y,Z,3) "vertex_grids" int map, marching_cubes.cu:257-259; we keep the
-    # three scan-id arrays and read cube-local edges as pure slices).
-    vgx = ids_x.reshape(X - 1, Y, Z)
-    vgy = ids_y.reshape(X, Y - 1, Z)
-    vgz = ids_z.reshape(X, Y, Z - 1)
-
-    # The 12 cube-edge vertex ids as slices over the (X-1, Y-1, Z-1) cube grid
-    # (ordering matches the reference's local_edges, marching_cubes.cu:179-192
-    # == standard Bourke edge numbering, see ops/mc_tables.py).
-    e = [
-        vgx[:, :-1, :-1],  # 0: x-edge at (x,   y,   z)
-        vgy[1:, :, :-1],  # 1: y-edge at (x+1, y,   z)
-        vgx[:, 1:, :-1],  # 2: x-edge at (x,   y+1, z)
-        vgy[:-1, :, :-1],  # 3: y-edge at (x,   y,   z)
-        vgx[:, :-1, 1:],  # 4: x-edge at (x,   y,   z+1)
-        vgy[1:, :, 1:],  # 5: y-edge at (x+1, y,   z+1)
-        vgx[:, 1:, 1:],  # 6: x-edge at (x,   y+1, z+1)
-        vgy[:-1, :, 1:],  # 7: y-edge at (x,   y,   z+1)
-        vgz[:-1, :-1, :],  # 8: z-edge at (x,   y,   z)
-        vgz[1:, :-1, :],  # 9: z-edge at (x+1, y,   z)
-        vgz[1:, 1:, :],  # 10: z-edge at (x+1, y+1, z)
-        vgz[:-1, 1:, :],  # 11: z-edge at (x,   y+1, z)
-    ]
-    # Kept as 12 separate flat views: gathering each at the face cubes fuses
-    # slice+reshape+gather without materializing a (12, C) stack (~800 MB at
-    # 256^3).
-    edge_vids = [a.reshape(-1) for a in e]
-
     if cmask is None:
         cmask = _cube_mask((density > thresh).astype(jnp.uint8))
     mask = cmask.reshape(-1).astype(jnp.int32)  # (C,)
@@ -561,24 +538,34 @@ def _mc_padded_impl(
     # Active-cube face emission: only ~1% of cubes emit triangles, so first
     # compact the active cube indices (two-level, cheap), then do the
     # slot->cube binary search over the compacted array — its sort-based
-    # searchsorted merges face_capacity + active_capacity elements instead of
+    # searchsorted merges face_capacity + active-cube elements instead of
     # the full 16M-cube grid. active <= num_faces <= face_capacity, so
-    # face_capacity is a safe active-cube budget.
+    # face_capacity is a safe default active-cube budget; a measured
+    # ``active_capacity`` (counts pass) roughly halves the compaction sorts
+    # (a cube averages 2-3 triangles).
     amask = (ntris > 0).astype(jnp.int8)
     C = amask.shape[0]
-    cu = cube_units or _default_unit_capacity(face_capacity, C)
+    Ac = active_capacity or face_capacity
+    cu = cube_units or _default_unit_capacity(Ac, C)
     m2c, ucnt_c = _unit_view(amask)
-    asrc, _ = _twolevel_src(amask, face_capacity, cu, m2=m2c, ucnt=ucnt_c)
-    a_ovf = jnp.sum(ucnt_c > 0, dtype=jnp.int32) > cu
+    asrc, _ = _twolevel_src(amask, Ac, cu, m2=m2c, ucnt=ucnt_c)
     n_active = jnp.sum(ucnt_c)
-    valid_a = jnp.arange(face_capacity, dtype=jnp.int32) < n_active
+    a_ovf = (jnp.sum(ucnt_c > 0, dtype=jnp.int32) > cu) | (n_active > Ac)
+    valid_a = jnp.arange(Ac, dtype=jnp.int32) < n_active
     ntris_a = jnp.where(valid_a, ntris[asrc], 0)  # (Ac,)
     base_a = _excl_cumsum_flat(ntris_a)
     incl_a = base_a + ntris_a
 
     # Face slot s lives in the active cube whose cumulative-triangle range
-    # contains s, at local index k = s - base[cube]; vertex ids are two
-    # chained gathers (table row, then edge-id grid). Integer-only.
+    # contains s, at local index k = s - base[cube]. Vertex ids come from
+    # the bit-packed per-triangle table (mc_tables.PACKED_TRI): one word
+    # per slot encodes its 3 vertices' (axis, voxel-offset) — the id is then
+    # a COMPUTED flat index into the per-axis scan-id arrays. Grid-sized
+    # dynamic gathers run at ~9 ns/element on TPU regardless of table size,
+    # so this replaces the old 16-row TRI_TABLE gather + 12 edge-grid
+    # gathers per slot (~28 Fc-sized gathers) with 5 (one packed word, one
+    # cube mask, three per-axis ids) — measured 133 -> ~55 ms for the whole
+    # 256^3 flagship extraction.
     s_q = jnp.arange(1, face_capacity + 1, dtype=incl_a.dtype)
     # method='sort' merges queries+array in one parallel sort — far cheaper
     # on TPU than the default binary-search scan
@@ -588,15 +575,31 @@ def _mc_padded_impl(
     cube = asrc[apos]
     k = (s_q - 1) - base_a[apos]  # 0..4 within the cube
     valid_f = s_q <= num_faces
-    tri_rows = _TRI_TABLE_T[:, mask[cube]]  # (16, Fc)
-    evids_f = jnp.stack([a[cube] for a in edge_vids], axis=0)  # (12, Fc)
+    CY, CZ = Y - 1, Z - 1
+    ci = cube // (CY * CZ)
+    cj = (cube // CZ) % CY
+    ck = cube % CZ
+    pk = _PACKED_TRI_FLAT[mask[cube] * T.MAX_TRIS_PER_CUBE
+                          + jnp.clip(k, 0, T.MAX_TRIS_PER_CUBE - 1)]
+    base_x = (ci * Y + cj) * Z + ck  # x-edge block: (X-1, Y, Z)
+    base_y = (ci * (Y - 1) + cj) * Z + ck  # y-edge block: (X, Y-1, Z)
+    base_z = (ci * Y + cj) * (Z - 1) + ck  # z-edge block: (X, Y, Z-1)
+    Ex = (X - 1) * Y * Z
+    Ey = X * (Y - 1) * Z
     fcols = []
     for j in range(3):
-        ejk = jnp.take_along_axis(tri_rows, (3 * k + j)[None, :], axis=0)[0]
-        vid = jnp.take_along_axis(
-            evids_f, jnp.maximum(ejk, 0)[None, :], axis=0
-        )[0]
-        fcols.append(jnp.where(valid_f, vid, 0))
+        info = (pk >> (5 * j)) & 31
+        ax = info >> 3
+        ox = (info >> 2) & 1
+        oy = (info >> 1) & 1
+        oz = info & 1
+        fx = base_x + oy * Z + oz
+        fy = base_y + ox * ((Y - 1) * Z) + oz
+        fz = base_z + ox * (Y * (Z - 1)) + oy * (Z - 1)
+        gidx = jnp.where(
+            ax == 0, fx, jnp.where(ax == 1, Ex + fy, Ex + Ey + fz)
+        )
+        fcols.append(jnp.where(valid_f, ids_all[gidx], 0))
     faces = jnp.stack(fcols, axis=-1)
 
     return MCResult(verts, faces, num_vertices, num_faces, v_ovf | a_ovf)
@@ -612,6 +615,7 @@ def marching_cubes_padded(
     upper=None,
     vert_units: int = 0,
     cube_units: int = 0,
+    active_capacity: int = 0,
     config=None,
 ) -> MCResult:
     """Jittable, differentiable marching cubes with static-capacity outputs.
@@ -629,6 +633,8 @@ def marching_cubes_padded(
             face_capacity = config.face_capacity
         vert_units = vert_units if vert_units else config.vert_units
         cube_units = cube_units if cube_units else config.cube_units
+        active_capacity = (active_capacity if active_capacity
+                           else config.active_capacity)
     if vert_capacity is None or face_capacity is None:
         raise ValueError(
             "vert_capacity/face_capacity required (directly or via config)")
@@ -647,7 +653,8 @@ def marching_cubes_padded(
     fused = 1 if plat in ("tpu", "axon") else 0
     res = _mc_padded_impl(
         density, jnp.float32(thresh), lo, up, int(vert_capacity),
-        int(face_capacity), int(vert_units), int(cube_units), fused
+        int(face_capacity), int(vert_units), int(cube_units), fused,
+        int(active_capacity),
     )
     debug.check(
         jnp.logical_not(jnp.asarray(res.overflowed)),
@@ -697,7 +704,7 @@ def marching_cubes(
             f"density must be a 3-D grid with every dim >= 2, got {density.shape}"
         )
     lower, upper = resolve_bounds(density.shape, scale)
-    nvj, nfj, vuj, cuj = _counts_impl(density, jnp.float32(thresh))
+    nvj, nfj, vuj, cuj, naj = _counts_impl(density, jnp.float32(thresh))
     nv, nf = int(nvj), int(nfj)
     res = marching_cubes_padded(
         density,
@@ -708,6 +715,7 @@ def marching_cubes(
         upper=upper,
         vert_units=_round_capacity(int(vuj)),
         cube_units=_round_capacity(int(cuj)),
+        active_capacity=_round_capacity(int(naj)),
     )
     if verbose:
         print(f"#vertices={nv}")

@@ -35,13 +35,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import mc_tables as T
-from ..ops.marching_cubes import (_default_unit_capacity, _excl_cumsum_flat,
-                                  _masked_compact_cols, _ntris_vec,
-                                  _twolevel_src)
+from ..ops.marching_cubes import (_PACKED_TRI_FLAT, _default_unit_capacity,
+                                  _excl_cumsum_flat, _masked_compact_cols,
+                                  _ntris_vec, _twolevel_src)
 
 Array = jax.Array
 
-_TRI_TABLE_T = jnp.asarray(T.TRI_TABLE.astype(__import__("numpy").int32).T)
 _NUM_TRIS = jnp.asarray(T.NUM_TRIS)
 
 
@@ -238,14 +237,6 @@ def sharded_marching_cubes(
             frow_off[jnp.minimum(fnext, Xv - 1)] - fbase,
         )
 
-        # the 12 cube-edge vertex ids (same layout as single-chip, global ids)
-        e = [
-            idx[:, :-1, :-1], idy[1:, :, :-1], idx[:, 1:, :-1], idy[:-1, :, :-1],
-            idx[:, :-1, 1:], idy[1:, :, 1:], idx[:, 1:, 1:], idy[:-1, :, 1:],
-            idz[:-1, :-1, :], idz[1:, :-1, :], idz[1:, 1:, :], idz[:-1, 1:, :],
-        ]
-        edge_vids = [a.reshape(-1) for a in e]  # 12 flat views
-
         # active-cube face emission over the shard's local slot range (same
         # two-level scheme as ops/marching_cubes: compact active cubes, then
         # search only the compacted cumulative ranges)
@@ -268,16 +259,39 @@ def sharded_marching_cubes(
         cube = asrc[apos]
         kk = (s_q - 1) - base_a[apos]
         valid_f = s_q <= fcount
-        tri_rows = _TRI_TABLE_T[:, mask.reshape(-1)[cube]]  # (16, Fc)
-        evids_f = jnp.stack([a[cube] for a in edge_vids], axis=0)  # (12, Fc)
+        # bit-packed per-triangle edge info + computed flat indices into the
+        # global-id arrays — same gather-thrift face path as single-chip
+        # (see ops/marching_cubes._mc_padded_impl / mc_tables.PACKED_TRI);
+        # local id-array layouts: idx (Xs, Y, Z), idy (Xs+1, Y-1, Z),
+        # idz (Xs+1, Y, Z-1), cube grid (Xs, Y-1, Z-1)
+        CY, CZ = Y - 1, Z - 1
+        ci = cube // (CY * CZ)
+        cj = (cube // CZ) % CY
+        ck = cube % CZ
+        pk = _PACKED_TRI_FLAT[
+            mask.reshape(-1)[cube] * T.MAX_TRIS_PER_CUBE
+            + jnp.clip(kk, 0, T.MAX_TRIS_PER_CUBE - 1)
+        ]
+        idxf = idx.reshape(-1)
+        idyf = idy.reshape(-1)
+        idzf = idz.reshape(-1)
+        base_x = (ci * Y + cj) * Z + ck
+        base_y = (ci * (Y - 1) + cj) * Z + ck
+        base_z = (ci * Y + cj) * (Z - 1) + ck
         fcols = []
         for j in range(3):
-            ejk = jnp.take_along_axis(
-                tri_rows, (3 * kk + j)[None, :], axis=0
-            )[0]
-            vid = jnp.take_along_axis(
-                evids_f, jnp.maximum(ejk, 0)[None, :], axis=0
-            )[0]
+            info = (pk >> (5 * j)) & 31
+            ax = info >> 3
+            ox = (info >> 2) & 1
+            oy = (info >> 1) & 1
+            oz = info & 1
+            fx = base_x + oy * Z + oz
+            fy = base_y + ox * ((Y - 1) * Z) + oz
+            fz = base_z + ox * (Y * (Z - 1)) + oy * (Z - 1)
+            vx = idxf[jnp.where(ax == 0, fx, 0)]
+            vy = idyf[jnp.where(ax == 1, fy, 0)]
+            vz = idzf[jnp.where(ax == 2, fz, 0)]
+            vid = jnp.where(ax == 0, vx, jnp.where(ax == 1, vy, vz))
             fcols.append(jnp.where(valid_f, vid, 0))
         faces = jnp.stack(fcols, axis=-1)
 

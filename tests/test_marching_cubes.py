@@ -46,6 +46,34 @@ class TestParity:
         v, f = marching_cubes(grid, 0.0)
         assert_meshes_equal(np.asarray(v), np.asarray(f), golden["v"], golden["f"])
 
+    def test_active_capacity_budget(self):
+        # a measured active-cube budget reproduces the default result; an
+        # undersized one raises the overflow flag instead of silently
+        # corrupting faces
+        grid = -sphere_grid(24)
+        nv, nf = marching_cubes_counts(grid, 0.0)
+        ref = marching_cubes_padded(
+            grid, 0.0, vert_capacity=4096, face_capacity=8192
+        )
+        from primitive3d_tpu.ops.marching_cubes import _counts_impl
+
+        na = int(_counts_impl(jnp.asarray(grid, jnp.float32),
+                              jnp.float32(0))[4])
+        tight = marching_cubes_padded(
+            grid, 0.0, vert_capacity=4096, face_capacity=8192,
+            active_capacity=na,
+        )
+        assert not bool(tight.overflowed)
+        np.testing.assert_array_equal(
+            np.asarray(ref.faces), np.asarray(tight.faces))
+        np.testing.assert_allclose(
+            np.asarray(ref.vertices), np.asarray(tight.vertices))
+        small = marching_cubes_padded(
+            grid, 0.0, vert_capacity=4096, face_capacity=8192,
+            active_capacity=max(16, na // 4),
+        )
+        assert bool(small.overflowed)
+
     def test_cpu_fallback_matches_default(self):
         # the reference's cpu= PyMCubes fallback analog
         # (prim3d/utility/marching_cubes.py:66-81): same implementation on

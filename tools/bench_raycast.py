@@ -72,7 +72,7 @@ def main():
         dp = jnp.concatenate([dj, jnp.ones((pad, 3), jnp.float32)])
 
         def prep_fn(z):
-            n, work, r2 = _mxu_prep(cb, op + z, dp, 10.0, False)
+            n, work, _, r2 = _mxu_prep(cb, op + z, dp, 10.0, False)
             return n[0, 0, 0].astype(jnp.float32) + r2[
                 0, 0, 0, 0].astype(jnp.float32)
 

@@ -67,28 +67,34 @@ def sphere_density(n=N_GRID, r=0.8):
     return r - jnp.sqrt(x * x + y * y + z * z)
 
 
+def round4k(n):
+    """Round a measured budget up to a 4096 multiple (+ slack): much tighter
+    than pow2 rounding — the compaction sorts scale with the budget."""
+    return -(-int(n * 1.05) // 4096) * 4096
+
+
 def tight_units(d):
-    """Measured unit budgets (rounded up) for the flagship grid."""
-    from primitive3d_tpu.ops.marching_cubes import _counts_impl, _round_capacity
+    """Measured unit/active budgets (rounded up) for the flagship grid."""
+    from primitive3d_tpu.ops.marching_cubes import _counts_impl
 
-    nv, nf, vu, cu = (int(q) for q in _counts_impl(d, jnp.float32(0)))
-    return nv, nf, _round_capacity(vu), _round_capacity(cu)
+    nv, nf, vu, cu, na = (int(q) for q in _counts_impl(d, jnp.float32(0)))
+    return nv, nf, round4k(vu), round4k(cu), round4k(na)
 
 
-def extract(d, vu, cu):
+def extract(d, vu, cu, na=0):
     from primitive3d_tpu.ops.marching_cubes import marching_cubes_padded
 
     res = marching_cubes_padded(
         d, 0.0, vert_capacity=VC, face_capacity=FC,
         lower=(-1, -1, -1), upper=(1, 1, 1),
-        vert_units=vu, cube_units=cu,
+        vert_units=vu, cube_units=cu, active_capacity=na,
     )
     assert not bool(res.overflowed), "flagship capacities overflowed"
     return res
 
 
 def stage_counts(d):
-    nv, nf, vu, cu = tight_units(d)
+    nv, nf, vu, cu, na = tight_units(d)
     print(f"256^3 sphere: {nv} verts, {nf} faces, "
           f"vert_units {vu}, cube_units {cu}")
     return {"verts": nv, "faces": nf, "vert_units": vu, "cube_units": cu}
@@ -99,13 +105,14 @@ def stage_cast(d):
     from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_mxu
     from primitive3d_tpu.render.camera import camera_rays
 
-    nv, nf, vu, cu = tight_units(d)
-    res = extract(d, vu, cu)
+    S = int(os.environ.get("FLAGSHIP_S", "128"))
+    nv, nf, vu, cu, na = tight_units(d)
+    res = extract(d, vu, cu, na)
     tris = jax.lax.stop_gradient(res.vertices[res.faces])
     log("faces:", nf, "capacity:", FC)
     v = np.asarray(res.vertices[: nv])
     log("mesh bbox:", v.min(0), v.max(0))
-    bvh = build_mxu_clusters(tris)
+    bvh = build_mxu_clusters(tris, cluster_size=S)
     np.asarray(bvh.w2[0, 0, :1])
     log("clusters:", bvh.num_clusters, "w2 MB:", bvh.w2.size * 2 / 1e6)
     cam = camera_rays(1088, 1920, (0.0, 0.0, 2.5), (0.0, 0.0, 0.0))
@@ -130,7 +137,7 @@ def stage_step(d):
     from primitive3d_tpu.pipeline import sdf_fitting_loss
     from primitive3d_tpu.render.camera import camera_rays
 
-    nv, nf, vu, cu = tight_units(d)
+    nv, nf, vu, cu, na = tight_units(d)
     cam = camera_rays(1088, 1920, (0.0, 0.0, 2.5), (0.0, 0.0, 0.0))
     o, dirs = jnp.asarray(cam.origins), jnp.asarray(cam.dirs)
     R = o.shape[0]
@@ -140,7 +147,7 @@ def stage_step(d):
         lambda dd: sdf_fitting_loss(
             dd, o, dirs, target, thresh=0.0,
             vert_capacity=VC, face_capacity=FC,
-            vert_units=vu, cube_units=cu,
+            vert_units=vu, cube_units=cu, active_capacity=na,
             lower=(-1, -1, -1), upper=(1, 1, 1), max_dist=10.0,
             backend="pallas",
         )
@@ -166,7 +173,7 @@ def stage_split(d):
     from primitive3d_tpu.pipeline import render_depth, sdf_fitting_loss
     from primitive3d_tpu.render.camera import camera_rays
 
-    nv, nf, vu, cu = tight_units(d)
+    nv, nf, vu, cu, na = tight_units(d)
     cam = camera_rays(1088, 1920, (0.0, 0.0, 2.5), (0.0, 0.0, 0.0))
     o, dirs = jnp.asarray(cam.origins), jnp.asarray(cam.dirs)
     R = o.shape[0]
@@ -174,7 +181,7 @@ def stage_split(d):
     # -- MC extract alone --------------------------------------------------
     @jax.jit
     def ext(dd):
-        res = extract_nocheck(dd, vu, cu)
+        res = extract_nocheck(dd, vu, cu, na)
         return res.vertices, res.faces, res.overflowed
 
     v, f, ov = ext(d)
@@ -200,12 +207,12 @@ def stage_split(d):
 
     @jax.jit
     def prep_fn(z):
-        n, work, r2 = _mxu_prep(bvh, op + z, dp, 10.0, True)
+        n, work, _, r2 = _mxu_prep(bvh, op + z, dp, 10.0, True)
         return n[:, 0, 0].astype(jnp.float32).sum() + r2[
             0, 0, 0, 0].astype(jnp.float32)
 
     t_prep = slope_time(lambda: prep_fn(jnp.float32(0)), 5)
-    n, work, _ = _mxu_prep(bvh, op, dp, 10.0, True)
+    n, work, _, _ = _mxu_prep(bvh, op, dp, 10.0, True)
     words = np.asarray(work)[:, 0]
     masks = words & 0xFF
     visits = int(np.unpackbits(masks.astype(np.uint8)[..., None],
@@ -229,7 +236,8 @@ def stage_split(d):
     # -- forward render vs full grad step ------------------------------------
     target = jnp.full((R,), 1.7, jnp.float32)
     kw = dict(thresh=0.0, vert_capacity=VC, face_capacity=FC,
-              vert_units=vu, cube_units=cu, lower=(-1, -1, -1),
+              vert_units=vu, cube_units=cu, active_capacity=na,
+              lower=(-1, -1, -1),
               upper=(1, 1, 1), max_dist=10.0, backend="pallas")
 
     fwd = jax.jit(lambda dd: render_depth(dd, o, dirs, **kw).depth)
@@ -250,13 +258,13 @@ def stage_split(d):
     }
 
 
-def extract_nocheck(d, vu, cu):
+def extract_nocheck(d, vu, cu, na=0):
     from primitive3d_tpu.ops.marching_cubes import marching_cubes_padded
 
     return marching_cubes_padded(
         d, 0.0, vert_capacity=VC, face_capacity=FC,
         lower=(-1, -1, -1), upper=(1, 1, 1),
-        vert_units=vu, cube_units=cu,
+        vert_units=vu, cube_units=cu, active_capacity=na,
     )
 
 

@@ -34,7 +34,7 @@ def main():
 
     print("device:", jax.devices()[0])
     d = sphere_density()
-    nv, nf, vu, cu = tight_units(d)
+    nv, nf, vu, cu, na = tight_units(d)
     log(f"counts: {nv} verts {nf} faces, units {vu}/{cu}")
     X = Y = Z = d.shape[0]
 
@@ -92,13 +92,51 @@ def main():
     vpos(d)
     log(f"masks + vert select + pos: {slope_time(lambda: vpos(d), 5)*1e3:.1f} ms")
 
-    # -- e) full padded MC -------------------------------------------------
+    # -- e) face subsections ----------------------------------------------
+    from primitive3d_tpu.ops.marching_cubes import _unit_view as _uv
+
+    def face_common(dd):
+        _, _, _, cm = fused_masks(dd, jnp.float32(0))
+        mask = cm.reshape(-1).astype(jnp.int32)
+        ntris = _ntris_vec(mask)
+        amask = (ntris > 0).astype(jnp.int8)
+        m2c, ucnt_c = _uv(amask)
+        asrc, _ = _twolevel_src(amask, na, cu, m2=m2c, ucnt=ucnt_c)
+        n_active = jnp.sum(ucnt_c)
+        valid_a = jnp.arange(na, dtype=jnp.int32) < n_active
+        ntris_a = jnp.where(valid_a, ntris[asrc], 0)
+        base_a = _excl_cumsum_flat(ntris_a)
+        return mask, asrc, base_a, base_a + ntris_a
+
+    @jax.jit
+    def fsel(dd):
+        mask, asrc, base_a, incl_a = face_common(dd)
+        return asrc[:1] + incl_a[-1:]
+
+    fsel(dd=d)
+    log(f"masks + active select: {slope_time(lambda: fsel(d), 5)*1e3:.1f} ms")
+
+    @jax.jit
+    def fsearch(dd):
+        mask, asrc, base_a, incl_a = face_common(dd)
+        s_q = jnp.arange(1, FC + 1, dtype=incl_a.dtype)
+        apos = jnp.clip(
+            jnp.searchsorted(incl_a, s_q, method="sort"), 0,
+            incl_a.shape[0] - 1)
+        cube = asrc[apos]
+        return cube[:1] + cube[-1:]
+
+    fsearch(d)
+    log("masks + active select + searchsorted: "
+        f"{slope_time(lambda: fsearch(d), 5)*1e3:.1f} ms")
+
+    # -- f) full padded MC -------------------------------------------------
     @jax.jit
     def full(dd):
         r = marching_cubes_padded(
             dd, 0.0, vert_capacity=VC, face_capacity=FC,
             lower=(-1, -1, -1), upper=(1, 1, 1),
-            vert_units=vu, cube_units=cu,
+            vert_units=vu, cube_units=cu, active_capacity=na,
         )
         return r.vertices[0, 0] + r.faces[-1, 0].astype(jnp.float32)
 
