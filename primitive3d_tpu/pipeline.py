@@ -46,6 +46,7 @@ def render_depth(
     upper=None,
     vert_units: int = 0,
     cube_units: int = 0,
+    active_capacity: int = 0,
     max_dist: float = 10.0,
     chunk: int = 512,
     backend: str = "auto",
@@ -75,6 +76,7 @@ def render_depth(
         upper=upper,
         vert_units=vert_units,
         cube_units=cube_units,
+        active_capacity=active_capacity,
     )
     # Padded face rows are [0,0,0] -> degenerate (v0,v0,v0) triangles -> den=0
     # -> guaranteed miss in the caster; no masking needed.

@@ -348,6 +348,41 @@ class TestMxuClusterKernel:
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
 
+    def test_stream_convergence_edge_cases(self):
+        """Front-to-back + per-chunk convergence must stay EXACT for origins
+        inside the mesh (negative entry bounds), all-miss ray sets (no chunk
+        ever converges), and tight max_dist cutoffs."""
+        from primitive3d_tpu.bvh.clusters import build_mxu_clusters
+        from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_mxu
+
+        rng = np.random.default_rng(7)
+        v, f = icosphere(2)
+        tris = jnp.asarray(np.asarray(v, np.float32)[np.asarray(f)])
+        mb = build_mxu_clusters(tris)
+
+        cases = []
+        # origins inside the sphere, random outward directions
+        d_in = rng.normal(size=(300, 3)).astype(np.float32)
+        d_in /= np.linalg.norm(d_in, axis=1, keepdims=True)
+        cases.append((np.zeros((300, 3), np.float32)
+                      + rng.uniform(-0.3, 0.3, (300, 3)).astype(np.float32),
+                      d_in, 10.0))
+        # all-miss: rays pointing away from the mesh
+        o_away = np.full((257, 3), 5.0, np.float32)
+        d_away = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (257, 1))
+        cases.append((o_away, d_away, 10.0))
+        # tight max_dist: some hits become misses mid-traversal
+        o_h, d_h = rays_at_sphere(400, rng)
+        cases.append((np.asarray(o_h), np.asarray(d_h), 2.05))
+
+        for o, d, md in cases:
+            o, d = jnp.asarray(o), jnp.asarray(d)
+            t0, i0 = cast_clusters_mxu(mb, o, d, max_dist=md, interpret=True)
+            t1, i1 = cast_clusters_mxu(mb, o, d, max_dist=md, interpret=True,
+                                       stream=True)
+            np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
 
 class TestDifferentiableClusterCast:
     """cast_clusters_diff: kernel hit-finding + analytic depth gradient."""
