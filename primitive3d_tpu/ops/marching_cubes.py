@@ -137,6 +137,16 @@ def _unit_view(mask: Array):
     return m2, ucnt
 
 
+def _pack_units(m2: Array) -> Array:
+    """(U, 4) int32 bit-packed view of a (U, 128) 0/1 unit mask.
+
+    Word k of a unit holds elements [32k, 32k+32) as bits (LSB first)."""
+    U = m2.shape[0]
+    m32 = m2.reshape(U * 4, 32).astype(jnp.int32)
+    w = jnp.arange(32, dtype=jnp.int32)[None, :]
+    return jnp.sum(m32 << w, axis=1, dtype=jnp.int32).reshape(U, 4)
+
+
 def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
                   m2=None, ucnt=None):
     """Stable two-level selection: indices of the first ``capacity`` set bits.
@@ -144,9 +154,12 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
     A single stable sort over tens of millions of mask elements dominates MC
     runtime at 256^3+. MC masks are ~1-2% dense and spatially coherent, so:
     (1) sort only the per-128-element-unit occupancy bits (E/128 elements),
-    (2) gather the first ``unit_capacity`` occupied units (a cheap row
-    gather), (3) sort inside that much smaller subset. Both sorts are stable
-    and units are selected in ascending order, so global order is preserved.
+    (2) gather the first ``unit_capacity`` occupied units, (3) sort inside
+    that much smaller subset. Both sorts are stable and units are selected
+    in ascending order, so global order is preserved. The gathered units
+    travel BIT-PACKED (4 int32 words per 128-element unit, ~9 ns/element
+    gather cost makes the packed form 32x cheaper to move); sub-unit
+    occupancy is byte tests on the packed words.
 
     Returns ``(src, unit_overflow)``. When more units are occupied than
     ``unit_capacity`` the tail of the selection is dropped — callers must
@@ -160,7 +173,7 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
     Ku = min(U, unit_capacity)
     usel = usel[:Ku]
     unit_overflow = jnp.sum(uany, dtype=jnp.int32) > Ku
-    msub = m2[usel].reshape(Ku * _UNIT).astype(jnp.int32)
+    psub = _pack_units(m2)[usel]  # (Ku, 4) int32
 
     # Third level: compact 8-element sub-units inside the gathered subset.
     # Unlike level 1's heuristic budget, this one is EXACT: the first
@@ -169,14 +182,17 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
     # final element sort shrinks from unit_capacity*128 to ~capacity*8.
     SU = 8
     U8 = Ku * _UNIT // SU
-    m8 = msub.reshape(U8, SU)
-    u8any = (jnp.sum(m8, axis=1) > 0).astype(jnp.int32)
+    bsh = jnp.arange(0, 32, 8, dtype=jnp.int32)[None, None, :]
+    u8bytes = ((psub[:, :, None] >> bsh) & 0xFF).reshape(U8)  # sub-unit bytes
+    u8any = (u8bytes > 0).astype(jnp.int32)
     K8 = min(U8, capacity)
     u8sel = _mask_sort_idx(u8any)[:K8]
-    m8sub = m8[u8sel].reshape(K8 * SU)
+    bits = (u8bytes[u8sel][:, None]
+            >> jnp.arange(SU, dtype=jnp.int32)[None, :]) & 1
+    m8sub = bits.reshape(K8 * SU)
     ss8 = _mask_sort_idx(m8sub)[: min(capacity, K8 * SU)]
     k = ss8.shape[0]
-    ssm = u8sel[ss8 // SU] * SU + ss8 % SU  # position within msub
+    ssm = u8sel[ss8 // SU] * SU + ss8 % SU  # position within the unit subset
     src = usel[ssm // _UNIT] * _UNIT + ssm % _UNIT
     if k < capacity:
         src = jnp.concatenate(

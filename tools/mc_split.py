@@ -138,7 +138,8 @@ def main():
             lower=(-1, -1, -1), upper=(1, 1, 1),
             vert_units=vu, cube_units=cu, active_capacity=na,
         )
-        return r.vertices[0, 0] + r.faces[-1, 0].astype(jnp.float32)
+        return (jnp.sum(r.vertices[:, 0])
+                + jnp.sum(r.faces[:, 0]).astype(jnp.float32))
 
     full(d)
     log(f"full padded MC: {slope_time(lambda: full(d), 5)*1e3:.1f} ms")
