@@ -250,6 +250,42 @@ def stage_split(d):
     np.asarray(lossf(d)[0])
     t_step = slope_time(lambda: lossf(d)[0], 3)
     log(f"grad step: {t_step*1e3:.1f} ms (backward ~{(t_step-t_fwd)*1e3:.1f} ms)")
+
+    # -- backward decomposition ---------------------------------------------
+    # grad wrt the triangle soup isolates the plane epilogue + its
+    # gather-transpose scatter; grad wrt vertices adds the soup
+    # gather-transpose; grad wrt density adds the MC backward.
+    from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_diff
+
+    res = extract_nocheck(d, vu, cu, na)
+    tris0 = jax.lax.stop_gradient(res.vertices[res.faces])
+    target_ = target
+
+    @jax.jit
+    @jax.value_and_grad
+    def loss_tris(ts):
+        dep, _ = cast_clusters_diff(ts, o, dirs, max_dist=10.0)
+        return jnp.mean((dep - target_) ** 2)
+
+    np.asarray(loss_tris(tris0)[0])
+    t_lt = slope_time(lambda: loss_tris(tris0)[0], 3)
+    log(f"cast+grad wrt soup: {t_lt*1e3:.1f} ms "
+        f"(epilogue fwd+bwd ~{(t_lt-t_cast)*1e3:.1f} ms)")
+
+    v0 = jax.lax.stop_gradient(res.vertices)
+    f0 = res.faces
+
+    @jax.jit
+    @jax.value_and_grad
+    def loss_verts(vv):
+        dep, _ = cast_clusters_diff(vv[f0], o, dirs, max_dist=10.0)
+        return jnp.mean((dep - target_) ** 2)
+
+    np.asarray(loss_verts(v0)[0])
+    t_lv = slope_time(lambda: loss_verts(v0)[0], 3)
+    log(f"cast+grad wrt vertices: {t_lv*1e3:.1f} ms "
+        f"(soup gather fwd+bwd ~{(t_lv-t_lt)*1e3:.1f} ms; "
+        f"MC fwd+bwd ~{(t_step-t_lv)*1e3:.1f} ms)")
     return {
         "mc_ms": round(t_mc * 1e3, 1), "bvh_ms": round(t_bvh * 1e3, 1),
         "prep_ms": round(t_prep * 1e3, 1), "cast_ms": round(t_cast * 1e3, 1),

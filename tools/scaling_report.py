@@ -129,6 +129,74 @@ def main():
             {"devices": n, "vox_per_s": round(rate), "efficiency_pct": round(eff, 1)}
         )
 
+    # --- communication analysis (exact, from compiled HLO) ------------------
+    # Wall-clock efficiency on the virtual CPU mesh is meaningless (all
+    # virtual devices share one CPU), but the COLLECTIVES the sharded
+    # programs execute are exactly those in the compiled HLO — count them
+    # and their payload bytes. Rays are pure DP (expected: zero collectives
+    # in the cast itself); sharded MC exchanges one halo row per neighbor
+    # and all-gathers per-row counts (payload ~KB against ~MB-scale
+    # per-shard compute) — the basis for the >= 85%-efficiency expectation
+    # on a real ICI-connected slice.
+    def comm_stats(compiled_text):
+        import re
+
+        DT = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "s8": 1,
+              "u8": 1, "f16": 2, "s64": 8, "u64": 8, "f64": 8}
+        stats = {}
+        for op in ("all-gather", "collective-permute", "all-reduce",
+                   "reduce-scatter", "all-to-all"):
+            n_ops = 0
+            n_bytes = 0
+            for m in re.finditer(
+                rf"= ([a-z0-9]+)\[([0-9,]*)\][^=]*{op}\(", compiled_text
+            ):
+                n_ops += 1
+                dt, dims = m.group(1), m.group(2)
+                sz = DT.get(dt, 4)
+                for q in dims.split(","):
+                    if q:
+                        sz *= int(q)
+                n_bytes += sz
+            if n_ops:
+                stats[op] = {"ops": n_ops, "payload_bytes": n_bytes}
+        return stats
+
+    try:
+        n = sizes[-1]
+        mesh = make_mesh(n, axis_name="data")
+        sh = NamedSharding(mesh, P("data"))
+        ojs = jax.device_put(oj, sh)
+        djs = jax.device_put(dj, sh)
+        txt = (
+            jax.jit(lambda a, b: cast_mxu(w, a, b, jnp.float32(10.0), 512))
+            .lower(ojs, djs).compile().as_text()
+        )
+        rays_comm = comm_stats(txt)
+
+        meshx = make_mesh(n, axis_name="x")
+        txt2 = (
+            jax.jit(lambda g: sharded_marching_cubes(
+                meshx, g, 0.0, vert_cap_per_shard=1 << 14,
+                face_cap_per_shard=1 << 15).vertices)
+            .lower(grid).compile().as_text()
+        )
+        mc_comm = comm_stats(txt2)
+        report["collectives"] = {
+            "devices": n,
+            "rays_cast": rays_comm or "none (pure data parallel)",
+            "sharded_mc": mc_comm,
+            "note": "payload bytes per step from compiled HLO; the rays "
+                    "path moves nothing between devices and sharded MC "
+                    "moves ~KBs of halo rows / row counts against MB-scale "
+                    "per-shard compute — the expected-efficiency basis for "
+                    "a real ICI slice",
+        }
+        print("collectives (rays):", rays_comm or "none")
+        print("collectives (MC):", mc_comm)
+    except Exception as e:  # noqa: BLE001
+        print("comm analysis failed:", e)
+
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(report, fh, indent=1)
