@@ -197,7 +197,8 @@ def main():
                 meshx, sphg + z, 0.0,
                 vert_cap_per_shard=1 << 16, face_cap_per_shard=1 << 17,
             )
-            return r.vertices[0, 0] + r.face_count[0].astype(jnp.float32)
+            return (jnp.sum(r.vertices)
+                    + jnp.sum(r.faces).astype(jnp.float32))
 
         sec = amortized(smc, K=5)
         log(f"MC[sharded x{nd}] {n_}^3: {sec*1e3:.2f} ms = "
@@ -226,7 +227,11 @@ def main():
                         grid + zz, 0.0, vert_capacity=vc, face_capacity=fc,
                         vert_units=vu, cube_units=cu, active_capacity=na
                     )
-                    return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
+                    # sum ALL outputs: a single-element sync expression lets
+                    # XLA dead-code the whole face section (a 256^3 "MC"
+                    # timed 11.6 ms that way vs 90 ms for the real thing)
+                    return (jnp.sum(r.vertices)
+                            + jnp.sum(r.faces).astype(jnp.float32))
 
                 sec = amortized(mcg, K=K)
                 log(f"MC {name}: {sec*1e3:.2f} ms = "
@@ -258,7 +263,8 @@ def main():
             r = p3d.marching_tetrahedra_padded(
                 pts + z, tets, sdfs, vert_capacity=8192, face_capacity=16384
             )
-            return r.vertices[0, 0] + r.num_faces.astype(jnp.float32)
+            return (jnp.sum(r.vertices)
+                    + jnp.sum(r.faces).astype(jnp.float32))
 
         sec = amortized(mt, K=20)
         log(f"MT 12045 tets: {sec*1e3:.2f} ms = {tets.shape[0]/sec/1e6:.2f} Mtet/s")

@@ -397,10 +397,15 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
     im = jnp.int32(S - 1)
     brow = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
 
+    # precision pinned to DEFAULT: accuracy comes from the explicit
+    # double-bf16 split; a global jax_default_matmul_precision=highest would
+    # otherwise stamp contract_precision<fp32> onto a bf16 matmul, which
+    # Mosaic rejects ("Bad lhs type")
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
     n = n_ref[0, 0, 0]
@@ -535,10 +540,15 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
     im = jnp.int32(S - 1)  # in-cluster index mask: log2(S) low mantissa bits
     brow = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
 
+    # precision pinned to DEFAULT: accuracy comes from the explicit
+    # double-bf16 split; a global jax_default_matmul_precision=highest would
+    # otherwise stamp contract_precision<fp32> onto a bf16 matmul, which
+    # Mosaic rejects ("Bad lhs type")
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
     n = n_ref[0, 0, 0]

@@ -48,8 +48,13 @@ def _check(depth, sidx, prim_order, ref):
     face = np.where(np.asarray(sidx) >= 0, prim, -1)
     np.testing.assert_array_equal(face, np.asarray(ref.face_id))
     hit = face >= 0
+    # RAW kernel depth is ordering-accurate, not f32-exact: the double-bf16
+    # Plücker products carry ~2^-16 relative error AMPLIFIED by
+    # |moment| / |triangle normal| (far origins, small triangles), ~1e-3
+    # worst-case for this scene. Production refines winners to exact f32
+    # (raycast._finish_hits) — asserted at 2e-5 in the caster-level test.
     np.testing.assert_allclose(
-        np.asarray(depth)[hit], np.asarray(ref.depth)[hit], rtol=2e-5
+        np.asarray(depth)[hit], np.asarray(ref.depth)[hit], rtol=2e-3
     )
 
 
@@ -73,6 +78,26 @@ class TestMosaicKernels:
             bvh, o, d, interpret=False, stream=True
         )
         _check(depth, sidx, bvh.prim_order, ref)
+
+    def test_pallas_caster_refined_depth(self, scene):
+        """The production path (kernel + exact-f32 winner refine) must match
+        the brute-force oracle tightly, compiled on the real chip."""
+        from primitive3d_tpu.raycast import create_raycaster
+
+        tris, o, d, ref = scene
+        rc = create_raycaster(
+            tris.reshape(-1, 3), np.arange(tris.shape[0] * 3,
+                                           dtype=np.int32).reshape(-1, 3),
+            backend="pallas",
+        )
+        hits = rc.cast(o, d)
+        np.testing.assert_array_equal(
+            np.asarray(hits.face_id), np.asarray(ref.face_id))
+        hit = np.asarray(ref.face_id) >= 0
+        np.testing.assert_allclose(
+            np.asarray(hits.depth)[hit], np.asarray(ref.depth)[hit],
+            rtol=2e-5,
+        )
 
     def test_scalar_cluster_kernel_compiled(self, scene):
         from primitive3d_tpu.bvh.clusters import build_clusters
