@@ -96,16 +96,32 @@ def _cast_bruteforce(
     return RayHits(best_t, normals, best_i)
 
 
+def _finish_data(triangles) -> Array:
+    """Per-face finish data (T, 5): [n, a.n, 1/|n|] — precomputed once per
+    caster build so the per-ray epilogue gathers 5 floats instead of the
+    9-float triangle (per-ray gathers at ~9 ns/element dominate the
+    post-kernel cost at image scale) and does no per-ray cross products."""
+    a = triangles[:, 0]
+    n = jnp.cross(triangles[:, 1] - a, triangles[:, 2] - a)
+    inv = 1.0 / jnp.maximum(
+        jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30
+    )
+    return jnp.concatenate(
+        [n, jnp.sum(a * n, axis=-1, keepdims=True), inv], axis=-1
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_dist",))
-def _finish_hits(triangles, prim_order, depth_k, sidx, o, d,
+def _finish_hits(fin, prim_order, depth_k, sidx, o, d,
                  max_dist: float) -> RayHits:
     """Map kernel output (depth, sorted-index) to final RayHits buffers.
 
-    Includes the exact f32 refine of each winning triangle: the cluster
+    Includes the exact-f32 refine of each winning triangle: the cluster
     kernel's depth carries a 2^-17 packed-index quantisation and double-bf16
-    product noise; recomputing the winner's t with the same arithmetic as
-    the brute-force oracle makes depth bit-comparable to it wherever the
-    winner agrees (BASELINE.md: depth buffers allclose vs goldens).
+    product noise; recomputing the winner's t from its plane equation
+    ``t = (a.n - o.n) / d.n`` (algebraically the Möller-Trumbore t) restores
+    f32 accuracy (BASELINE.md: depth buffers allclose vs goldens). ``fin``
+    is the per-face :func:`_finish_data`.
     """
     safe = jnp.maximum(sidx, 0)
     fid = prim_order[safe]
@@ -114,13 +130,17 @@ def _finish_hits(triangles, prim_order, depth_k, sidx, o, d,
     # that kernel invariant
     hit = (sidx >= 0) & (fid >= 0)
     face_id = jnp.where(hit, fid, -1)
-    tri_w = triangles[jnp.maximum(face_id, 0)]
-    t_exact = tri_ops.ray_intersect(o, d, tri_w)
-    # if the exact test disagrees on a grazing winner, keep the kernel depth
-    depth = jnp.where(hit & (t_exact < max_dist), t_exact, depth_k)
+    fr = fin[jnp.maximum(face_id, 0)]  # (R, 5)
+    nvec = fr[:, :3]
+    den = jnp.sum(d * nvec, axis=-1)
+    t_exact = (fr[:, 3] - jnp.sum(o * nvec, axis=-1)) / jnp.where(
+        den == 0, 1e-30, den
+    )
+    # if the plane recompute disagrees on a grazing winner, keep kernel depth
+    ok = hit & (den != 0) & (t_exact >= 0.0) & (t_exact < max_dist)
+    depth = jnp.where(ok, t_exact, depth_k)
     depth = jnp.where(hit, depth, jnp.float32(max_dist))
-    n = tri_ops.normals(tri_w)
-    normals = jnp.where(hit[:, None], n, 0.0)
+    normals = jnp.where(hit[:, None], nvec * fr[:, 4:5], 0.0)
     return RayHits(depth, normals, jnp.where(hit, face_id, -1))
 
 
@@ -215,6 +235,7 @@ class PallasRayCaster(RayCaster):
         build = build_mxu_clusters if self.use_mxu else build_clusters
         self.cbvh = jax.block_until_ready(
             build(self.triangles, cluster_size=cs))
+        self._fin = _finish_data(self.triangles)  # build-once (T, 5)
 
     def cast(self, origins, directions) -> RayHits:
         from .kernels.raycast_kernel import cast_clusters, cast_clusters_mxu
@@ -233,7 +254,7 @@ class PallasRayCaster(RayCaster):
                 self.cbvh, o, d, max_dist=self.max_dist, interpret=interpret
             )
         return _finish_hits(
-            self.triangles, self.cbvh.prim_order, depth, sidx, o, d,
+            self._fin, self.cbvh.prim_order, depth, sidx, o, d,
             max_dist=self.max_dist,
         )
 
