@@ -371,7 +371,7 @@ NCH = MBLOCK // RCHUNK
 
 def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
                        depth_ref, idx_ref, w2s_ref, sem_w2, *, cluster_size,
-                       max_dist):
+                       max_dist, rchunk=RCHUNK, nch=NCH):
     """HBM-streaming tier of the MXU cluster caster.
 
     Work list is one word per flagged cluster — ``(c << 8) | chunk_mask``
@@ -393,9 +393,9 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
     have converged.
     """
     S = cluster_size
-    tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, RCHUNK), 0)
+    tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, rchunk), 0)
     im = jnp.int32(S - 1)
-    brow = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
 
     # precision pinned to DEFAULT: accuracy comes from the explicit
     # double-bf16 split; a global jax_default_matmul_precision=highest would
@@ -409,9 +409,9 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
     )
 
     n = n_ref[0, 0, 0]
-    best0 = jnp.full((NCH, RCHUNK), max_dist, jnp.float32)
-    idx0 = jnp.full((NCH, RCHUNK), -1, jnp.int32)
-    ALL = jnp.int32((1 << NCH) - 1)
+    best0 = jnp.full((nch, rchunk), max_dist, jnp.float32)
+    idx0 = jnp.full((nch, rchunk), -1, jnp.int32)
+    ALL = jnp.int32((1 << nch) - 1)
 
     def epilogue(c, r, full, best, bidx):
         s0 = full[0 * S:1 * S]
@@ -435,7 +435,7 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
         return best, bidx
 
     def start_fetch(e):
-        cn = entries_ref[0, 0, e] >> 8
+        cn = entries_ref[0, 0, e] >> 16
         pltpu.make_async_copy(
             w2_ref.at[cn], w2s_ref.at[e & 1], sem_w2.at[e & 1]
         ).start()
@@ -447,13 +447,13 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
     def body(st):
         e, conv, best, bidx = st
         word = entries_ref[0, 0, e]
-        c = word >> 8
+        c = word >> 16
         slot = e & 1
 
         def refresh(_):
             bnd = bounds_ref[0, 0, e]
             bits = jnp.int32(0)
-            for r in range(NCH):
+            for r in range(nch):
                 bits |= jnp.where(
                     jnp.max(best[r]) <= bnd, jnp.int32(1 << r), 0
                 )
@@ -462,7 +462,7 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
         conv = jax.lax.cond(
             (e & 3) == 0, refresh, lambda _: conv, None
         )
-        mask = word & 0xFF & ~conv
+        mask = word & jnp.int32(0xFFFF) & ~conv
 
         @pl.when(e + 1 < n)
         def _():
@@ -472,7 +472,7 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
             w2_ref.at[c], w2s_ref.at[slot], sem_w2.at[slot]
         ).wait()
 
-        for r in range(NCH):  # static unroll over the cluster's chunk bits
+        for r in range(nch):  # static unroll over the cluster's chunk bits
             def do(carry, r=r):
                 b, bi = carry
                 full = dot(w2s_ref[slot], r2_ref[0, r])
@@ -495,7 +495,7 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
     @pl.when(ef < n)
     def _():
         pltpu.make_async_copy(
-            w2_ref.at[entries_ref[0, 0, ef] >> 8], w2s_ref.at[ef & 1],
+            w2_ref.at[entries_ref[0, 0, ef] >> 16], w2s_ref.at[ef & 1],
             sem_w2.at[ef & 1],
         ).wait()
 
@@ -504,11 +504,11 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
 
 
 def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
-                *, cluster_size, max_dist):
+                *, cluster_size, max_dist, rchunk=RCHUNK, nch=NCH):
     """MXU cluster caster: one K=48 matmul per (cluster, 256-ray chunk).
 
     Layout rule: rays live in the LANE dimension everywhere — per-ray state
-    (best t, best id) is a dense (NCH, RCHUNK) value and matmul results are
+    (best t, best id) is a dense (nch, rchunk) value and matmul results are
     (tris, rays). A first draft used (rays, 1) column vectors; each was 128
     nearly-empty vregs and loop-carry copies dwarfed the arithmetic.
 
@@ -536,9 +536,9 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
     (the caller refines winners to exact f32, raycast._finish_hits).
     """
     S = cluster_size
-    tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, RCHUNK), 0)
+    tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, rchunk), 0)
     im = jnp.int32(S - 1)  # in-cluster index mask: log2(S) low mantissa bits
-    brow = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
 
     # precision pinned to DEFAULT: accuracy comes from the explicit
     # double-bf16 split; a global jax_default_matmul_precision=highest would
@@ -552,8 +552,8 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
     )
 
     n = n_ref[0, 0, 0]
-    best0 = jnp.full((NCH, RCHUNK), max_dist, jnp.float32)
-    idx0 = jnp.full((NCH, RCHUNK), -1, jnp.int32)
+    best0 = jnp.full((nch, rchunk), max_dist, jnp.float32)
+    idx0 = jnp.full((nch, rchunk), -1, jnp.int32)
 
     def cond(st):
         return st[0] < n
@@ -562,8 +562,9 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
         # clamped read: the tail lane of an odd-length list redoes the last
         # pair with its update masked off below
         p = pairs_ref[0, 0, jnp.minimum(e, n - 1)]
-        c = p >> 3
-        r = p & 7
+        nb = nch.bit_length() - 1
+        c = p >> nb
+        r = p & (nch - 1)
         # r2_ref: (1, NCH, 48, RCHUNK) bf16 [hi; lo; hi] per chunk
         # (host-side reduce_precision; see build_mxu_clusters). Indexed as
         # a ref: dynamic_slice of a loaded value does not lower.
@@ -665,7 +666,8 @@ def _interval_cull(boxes, rint, max_dist):
     return ok, jnp.maximum(tl, 0.0)
 
 
-def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
+def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool,
+              rchunk: int = RCHUNK, nch: int = NCH):
     """Host-side prep for the MXU cluster kernels (pure XLA, timeable alone).
 
     ``o``/``d`` are already padded to a multiple of MBLOCK. Returns
@@ -674,7 +676,7 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
     VMEM-resident tier, ``(c << 8) | chunk-mask`` cluster words for the
     streaming tier (8x less SMEM; entry boundaries == cluster changes, which
     the double-buffered w2 prefetch keys on) — and the double-bf16 ray
-    Plücker tensor r2 (B, NCH, 48, RCHUNK).
+    Plücker tensor r2 (B, nch, 48, rchunk).
     """
     Rp = o.shape[0]
     B = Rp // MBLOCK
@@ -685,7 +687,7 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
     rvec = jnp.concatenate(
         [d, m, o, ones, jnp.zeros((Rp, 6), jnp.float32)], axis=1
     )  # (Rp, 16)
-    rvt = rvec.reshape(B, NCH, RCHUNK, 16).transpose(0, 1, 3, 2)
+    rvt = rvec.reshape(B, nch, rchunk, 16).transpose(0, 1, 3, 2)
     rvh32 = jax.lax.reduce_precision(rvt, exponent_bits=8, mantissa_bits=7)
     rvh = rvh32.astype(jnp.bfloat16)
     rvl = (rvt - rvh32).astype(jnp.bfloat16)
@@ -695,15 +697,15 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
 
     # per-(block, chunk) ray intervals: origin box + clamped inverse-dir
     # bounds, interleaved [oxlo,oxhi,...,ozhi, ivxlo,ivxhi,...,ivzhi]
-    ob = o.reshape(B, NCH, RCHUNK, 3)
-    db = d.reshape(B, NCH, RCHUNK, 3)
+    ob = o.reshape(B, nch, rchunk, 3)
+    db = d.reshape(B, nch, rchunk, 3)
     ivb = jnp.clip(1.0 / db, -1e18, 1e18)  # finite: no 0*inf NaNs
     oint = jnp.stack(
         [jnp.min(ob, axis=2), jnp.max(ob, axis=2)], axis=-1
-    ).reshape(B, NCH, 6)
+    ).reshape(B, nch, 6)
     ivint = jnp.stack(
         [jnp.min(ivb, axis=2), jnp.max(ivb, axis=2)], axis=-1
-    ).reshape(B, NCH, 6)
+    ).reshape(B, nch, 6)
     rint = jnp.concatenate([oint, ivint], axis=-1)  # (B, NCH, 12)
 
     # flat work list from the interval cull
@@ -717,10 +719,10 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
 
     if stream:
         okc = ok.transpose(0, 2, 1)  # (B, C, NCH)
-        bits = (1 << jnp.arange(NCH, dtype=jnp.int32))[None, None, :]
+        bits = (1 << jnp.arange(nch, dtype=jnp.int32))[None, None, :]
         cmask = jnp.sum(okc.astype(jnp.int32) * bits, axis=-1)  # (B, C)
         cid = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
-        words = (cid << 8) | cmask
+        words = (cid << 16) | cmask
         # front-to-back: sort flagged clusters by their entry lower bound
         # (min over flagged chunks); the sorted bounds ride along to SMEM as
         # the kernel's convergence thresholds
@@ -737,8 +739,8 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
         return n, entries[:, None], sbound[:, None], r2
 
     # (cluster, chunk) pairs compacted to the front, cluster-major
-    okt = ok.transpose(0, 2, 1).reshape(B, C * NCH)
-    pid = jax.lax.broadcasted_iota(jnp.int32, (B, C * NCH), 1)
+    okt = ok.transpose(0, 2, 1).reshape(B, C * nch)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (B, C * nch), 1)
     _, pairs = jax.lax.sort(
         (jnp.where(okt, 0, 1).astype(jnp.int32), pid), dimension=1,
         num_keys=1, is_stable=True,
@@ -748,7 +750,7 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_dist", "interpret", "stream")
+    jax.jit, static_argnames=("max_dist", "interpret", "stream", "rchunk")
 )
 def cast_clusters_mxu(
     bvh,
@@ -757,6 +759,7 @@ def cast_clusters_mxu(
     max_dist: float = 10.0,
     interpret: bool = False,
     stream: bool = False,
+    rchunk: int = RCHUNK,
 ) -> Tuple[Array, Array]:
     """Closest hit via the MXU cluster kernel: (t, sorted-triangle index).
 
@@ -767,21 +770,23 @@ def cast_clusters_mxu(
     into VMEM scratch, raising the cap to ~2M triangles; beyond that use
     :func:`cast_clusters`.
     """
+    nch = MBLOCK // rchunk
     R = origins.shape[0]
     pad = (-R) % MBLOCK
     o = jnp.concatenate([origins, jnp.zeros((pad, 3), jnp.float32)])
     d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
     Rp = R + pad
     B = Rp // MBLOCK
-    n, work, bounds, r2 = _mxu_prep(bvh, o, d, float(max_dist), stream)
+    n, work, bounds, r2 = _mxu_prep(bvh, o, d, float(max_dist), stream,
+                                    rchunk, nch)
     C = bvh.num_clusters
-    r2_spec = pl.BlockSpec((1, NCH, 48, RCHUNK), lambda i: (i, 0, 0, 0),
+    r2_spec = pl.BlockSpec((1, nch, 48, rchunk), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, NCH, RCHUNK), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((1, nch, rchunk), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((B, NCH, RCHUNK), jnp.float32),
-        jax.ShapeDtypeStruct((B, NCH, RCHUNK), jnp.int32),
+        jax.ShapeDtypeStruct((B, nch, rchunk), jnp.float32),
+        jax.ShapeDtypeStruct((B, nch, rchunk), jnp.int32),
     ]
     n_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                           memory_space=pltpu.SMEM)
@@ -806,7 +811,7 @@ def cast_clusters_mxu(
         )
         kernel = functools.partial(
             _kernel_mxu_stream, cluster_size=bvh.cluster_size,
-            max_dist=float(max_dist),
+            max_dist=float(max_dist), rchunk=rchunk, nch=nch,
         )
         depth, idx = pl.pallas_call(
             kernel,
@@ -820,7 +825,7 @@ def cast_clusters_mxu(
             grid=(B,),
             in_specs=[
                 n_spec,
-                pl.BlockSpec((1, 1, C * NCH), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 1, C * nch), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),  # pairs
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 r2_spec,
@@ -829,7 +834,7 @@ def cast_clusters_mxu(
         )
         kernel = functools.partial(
             _kernel_mxu, cluster_size=bvh.cluster_size,
-            max_dist=float(max_dist),
+            max_dist=float(max_dist), rchunk=rchunk, nch=nch,
         )
 
     depth, idx = pl.pallas_call(

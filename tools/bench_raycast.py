@@ -58,7 +58,8 @@ def main():
         # (t(2K) - t(K)) / K cancels the constant ~27 ms tunnel fetch cost
         return max((timed(2 * k, fn) - timed(k, fn)) / k, 1e-9)
 
-    cast = lambda z: cast_clusters_mxu(cb, oj + z, dj)[0][0]
+    RC = int(os.environ.get("BENCH_RCHUNK", "256"))
+    cast = lambda z: cast_clusters_mxu(cb, oj + z, dj, rchunk=RC)[0][0]
     sec = slope(cast)
     print(f"{sec*1e3:.3f} ms/cast = {H*W/sec/1e6:.2f} Mrays/s", flush=True)
 

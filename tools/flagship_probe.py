@@ -106,6 +106,7 @@ def stage_cast(d):
     from primitive3d_tpu.render.camera import camera_rays
 
     S = int(os.environ.get("FLAGSHIP_S", "128"))
+    RC = int(os.environ.get("FLAGSHIP_RCHUNK", "256"))
     nv, nf, vu, cu, na = tight_units(d)
     res = extract(d, vu, cu, na)
     tris = jax.lax.stop_gradient(res.vertices[res.faces])
@@ -120,12 +121,13 @@ def stage_cast(d):
     R = o.shape[0]
     log("rays:", R)
     t0 = time.perf_counter()
-    depth, idx = cast_clusters_mxu(bvh, o, dirs, max_dist=10.0, stream=True)
+    depth, idx = cast_clusters_mxu(bvh, o, dirs, max_dist=10.0, stream=True,
+                                   rchunk=RC)
     np.asarray(depth[:8])
     log("compile+run1:", time.perf_counter() - t0, "s")
     dt = slope_time(
         lambda: cast_clusters_mxu(bvh, o, dirs, max_dist=10.0,
-                                  stream=True)[0], 5)
+                                  stream=True, rchunk=RC)[0], 5)
     hits = int(jnp.sum(idx >= 0))
     print(f"cast 1080p: {dt*1e3:.2f} ms = {R/dt/1e6:.1f} Mrays/s, "
           f"hit fraction {hits/R:.3f}")
