@@ -59,7 +59,9 @@ def main():
         return max((timed(2 * k, fn) - timed(k, fn)) / k, 1e-9)
 
     RC = int(os.environ.get("BENCH_RCHUNK", "256"))
-    cast = lambda z: cast_clusters_mxu(cb, oj + z, dj, rchunk=RC)[0][0]
+    ST = bool(int(os.environ.get("BENCH_STREAM", "0")))
+    cast = lambda z: cast_clusters_mxu(cb, oj + z, dj, rchunk=RC,
+                                       stream=ST)[0][0]
     sec = slope(cast)
     print(f"{sec*1e3:.3f} ms/cast = {H*W/sec/1e6:.2f} Mrays/s", flush=True)
 
