@@ -6,6 +6,8 @@ this exercises the whole stack end-to-end: SDF grid -> padded marching cubes
 data-parallel over all local devices, with npz checkpoint/resume.
 
 Usage: python examples/sdf_fitting.py [--steps N] [--resume]
+       python examples/sdf_fitting.py --flagship [--steps N]
+           (BASELINE.md config 5 scale: 256^3 grid, 1080p rays — run on TPU)
 """
 import argparse
 import os
@@ -54,7 +56,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--flagship", action="store_true",
+                    help="256^3 grid, 1080p rays (BASELINE.md config 5)")
     args = ap.parse_args()
+
+    if args.flagship:
+        return flagship(args)
 
     kw = dict(vert_capacity=VC, face_capacity=FC, max_dist=100.0, chunk=256)
     o, d = rays()
@@ -105,6 +112,58 @@ def main():
         if step % 5 == 0 or step == step0 + args.steps - 1:
             print(f"step {step:4d}  loss {float(loss):.6f}")
     np.savez(CKPT, density=np.asarray(density), step=step0 + args.steps)
+    print(f"checkpoint -> {CKPT}")
+
+
+def flagship(args):
+    """BASELINE config-5 scale: fit a 256^3 SDF to 1080p depth renders.
+
+    ~270 ms/step on one v5e chip (see FLAGSHIP_r3.json); budgets measured by
+    the counts pass with headroom so the whole optimisation trajectory fits.
+    """
+    from primitive3d_tpu.ops.marching_cubes import _counts_impl
+    from primitive3d_tpu.render.camera import camera_rays
+
+    n = 256
+    ax = np.linspace(-1.0, 1.0, n, dtype=np.float32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    rr = np.sqrt(x * x + y * y + z * z)
+    truth = jnp.asarray(0.8 - rr)
+    init = jnp.asarray(0.6 - rr)
+
+    # budget on the LARGER surface (truth) with 30% headroom for growth
+    nv, nf, vu, cu, na = (int(q) for q in _counts_impl(truth, jnp.float32(0)))
+    pad = lambda q: -(-int(q * 1.3) // 4096) * 4096
+    kw = dict(vert_capacity=pad(nv), face_capacity=pad(nf),
+              vert_units=pad(vu), cube_units=pad(cu), active_capacity=pad(na),
+              lower=(-1, -1, -1), upper=(1, 1, 1), max_dist=10.0,
+              backend="pallas")
+
+    cam = camera_rays(1088, 1920, (0.0, 0.0, 2.5), (0.0, 0.0, 0.0))
+    o, d = jnp.asarray(cam.origins), jnp.asarray(cam.dirs)
+    target = render_depth(truth, o, d, **kw).depth
+    print(f"target: {float(jnp.mean(target < 10.0)):.2f} hit fraction")
+
+    opt = optax.adam(5e-3)
+    density = init
+    opt_state = opt.init(density)
+
+    @jax.jit
+    def train_step(density, opt_state):
+        loss, grad = jax.value_and_grad(
+            lambda g: sdf_fitting_loss(g, o, d, target, **kw)
+        )(density)
+        updates, opt_state = opt.update(grad, opt_state)
+        return loss, optax.apply_updates(density, updates), opt_state
+
+    import time
+    for step in range(args.steps):
+        t0 = time.perf_counter()
+        loss, density, opt_state = train_step(density, opt_state)
+        lf = float(loss)  # sync
+        print(f"step {step:3d}  loss {lf:.6f}  "
+              f"({time.perf_counter() - t0:.2f}s)")
+    np.savez(CKPT, density=np.asarray(density), step=args.steps)
     print(f"checkpoint -> {CKPT}")
 
 
