@@ -418,9 +418,18 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
         s1 = full[1 * S:2 * S]
         s2 = full[2 * S:3 * S]
         num = full[3 * S:4 * S]
-        m4 = jnp.minimum(jnp.minimum(s0, s1), jnp.minimum(s2, num))
-        M4 = jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, num))
-        ok = (m4 >= 0) | (M4 <= 0)
+        # sign-agreement via sign BITS (3 xor + 2 or + 1 cmp, vs 6 min/max
+        # + 2 cmp + 1 or): all four share a sign iff no pairwise xor sets
+        # the sign bit. -0 counts as negative and +0 as positive (the
+        # min/max form treated 0 as a wildcard) — an exactly-zero side
+        # product is a ray through an edge, measure-zero in f32; padding
+        # triangles (all +0) still pass and then lose as NaN in the packed
+        # min.
+        b0 = jax.lax.bitcast_convert_type(s0, jnp.int32)
+        b1 = jax.lax.bitcast_convert_type(s1, jnp.int32)
+        b2 = jax.lax.bitcast_convert_type(s2, jnp.int32)
+        b3 = jax.lax.bitcast_convert_type(num, jnp.int32)
+        ok = ((b0 ^ b1) | (b0 ^ b2) | (b0 ^ b3)) >= 0
         den = (s0 + s1) + s2
         rd = pl.reciprocal(den, approx=True)
         rd = rd * (2.0 - den * rd)
@@ -580,9 +589,18 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
         # share a sign (num agreeing with den's sign == s-sign is exactly
         # t >= 0); den == 0 makes t inf or nan, whose bit patterns lose the
         # integer min below
-        m4 = jnp.minimum(jnp.minimum(s0, s1), jnp.minimum(s2, num))
-        M4 = jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, num))
-        ok = (m4 >= 0) | (M4 <= 0)
+        # sign-agreement via sign BITS (3 xor + 2 or + 1 cmp, vs 6 min/max
+        # + 2 cmp + 1 or): all four share a sign iff no pairwise xor sets
+        # the sign bit. -0 counts as negative and +0 as positive (the
+        # min/max form treated 0 as a wildcard) — an exactly-zero side
+        # product is a ray through an edge, measure-zero in f32; padding
+        # triangles (all +0) still pass and then lose as NaN in the packed
+        # min.
+        b0 = jax.lax.bitcast_convert_type(s0, jnp.int32)
+        b1 = jax.lax.bitcast_convert_type(s1, jnp.int32)
+        b2 = jax.lax.bitcast_convert_type(s2, jnp.int32)
+        b3 = jax.lax.bitcast_convert_type(num, jnp.int32)
+        ok = ((b0 ^ b1) | (b0 ^ b2) | (b0 ^ b3)) >= 0
         # exact Plücker identity (see MxuClusterBVH): the three unnormalized
         # side products sum to rd.N
         den = (s0 + s1) + s2

@@ -46,9 +46,40 @@ def main():
         return jax.ops.segment_sum(
             g[order], prim[order], num_segments=T, indices_are_sorted=True)
 
+    @jax.jit
+    def unique_scatter(g, prim):
+        # speed floor check: scatter with UNIQUE indices (take first R<T
+        # rows as distinct targets)
+        idx = jnp.arange(T, dtype=jnp.int32)
+        return jnp.zeros((T, 4), jnp.float32).at[idx].add(
+            g[:T], unique_indices=True, indices_are_sorted=True)
+
+    @jax.jit
+    def sorted_cumsum(g, prim):
+        # segment sums without ANY duplicate-index scatter: sort by prim,
+        # cumsum, take per-segment deltas via two unique-index scatters
+        ps, g0, g1, g2, g3 = jax.lax.sort(
+            (prim, g[:, 0], g[:, 1], g[:, 2], g[:, 3]), num_keys=1)
+        gs = jnp.stack([g0, g1, g2, g3], -1)
+        cs = jnp.cumsum(gs, axis=0)
+        is_end = jnp.concatenate(
+            [ps[1:] != ps[:-1], jnp.ones((1,), bool)])
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), ps[1:] != ps[:-1]])
+        pe = jnp.where(is_end, ps, T)  # unique (pad row T)
+        pb = jnp.where(is_start, ps, T)
+        zero = jnp.zeros((T + 1, 4), jnp.float32)
+        s_end = zero.at[pe].add(jnp.where(is_end[:, None], cs, 0),
+                                unique_indices=True)
+        s_pre = zero.at[pb].add(
+            jnp.where(is_start[:, None], cs - gs, 0), unique_indices=True)
+        return (s_end - s_pre)[:T]
+
     for name, fn in [("plain .at[].add", scatter_plain),
                      ("argsort + sorted add", scatter_sorted),
-                     ("argsort + segment_sum", seg_sorted)]:
+                     ("argsort + segment_sum", seg_sorted),
+                     ("unique-index scatter (floor)", unique_scatter),
+                     ("sort + cumsum + unique deltas", sorted_cumsum)]:
         out = fn(g, prim)
         dt = slope_time(lambda fn=fn: fn(g, prim), 5)
         print(f"{name}: {dt*1e3:.1f} ms (checksum {float(out.sum()):.1f})",
