@@ -1,9 +1,12 @@
 """Benchmark harness: one JSON line on stdout, detail on stderr.
 
-Primary metric: bunny ray casting throughput (BASELINE.md config 4 —
-512x512 rays -> depth/normal/id buffers) via the Pallas cluster kernel, vs
-the 100M rays/s/chip north-star target. Secondary metrics (stderr): marching
-cubes at 66^3/128^3/256^3 and marching tetrahedra.
+Primary metric: bunny PRODUCTION ray casting throughput (BASELINE.md
+config 4 — 512x512 rays -> full depth/normal/primitive-id buffers, i.e.
+``create_raycaster(...).cast()`` with every output consumed) via the Pallas
+cluster kernel with in-kernel finish selection, vs the 100M rays/s/chip
+north-star target. A kernel-only line (depth + packed index, no finish) is
+reported on stderr for continuity with rounds 1-3. Secondary metrics
+(stderr): marching cubes at 66^3/128^3/256^3 and marching tetrahedra.
 
 Methodology notes (this environment):
   * Only a host fetch truly synchronizes through the TPU tunnel, and each
@@ -114,17 +117,34 @@ def main():
     log(f"pallas hit fraction: {hit_frac:.3f}")
     assert 0.05 < hit_frac < 0.95, "camera setup wrong"
 
-    sec = amortized(
-        lambda z, cb_, o_, d_: cast_clusters_mxu(cb_, o_ + z, d_)[0][0],
-        40, cb, oj, dj)
+    # PRIMARY: the production cast — full RayHits (depth + normals + face
+    # ids), everything consumed so nothing dead-codes
+    from primitive3d_tpu.raycast import create_raycaster
+
+    rc = create_raycaster(vb, fb, backend="pallas")
+
+    def production(z, o_, d_):
+        h = rc.cast(o_ + z, d_)
+        return (jnp.sum(h.depth) + jnp.sum(h.normals)
+                + jnp.sum(h.face_id).astype(jnp.float32))
+
+    sec = amortized(production, 40, oj, dj)
     rps = H * W / sec
-    log(f"raycast[pallas] bunny {H}x{W}: {sec*1e3:.2f} ms = {rps/1e6:.2f} Mrays/s")
+    log(f"raycast[production] bunny {H}x{W} depth+normals+ids: "
+        f"{sec*1e3:.2f} ms = {rps/1e6:.2f} Mrays/s")
     RESULT.update(
-        metric="bunny_512x512_rays_per_s[pallas]",
+        metric="bunny_512x512_production_rays_per_s[pallas]",
         value=round(rps),
         unit="rays/s",
         vs_baseline=round(rps / 1e8, 4),
     )
+
+    # kernel-only line (rounds 1-3 headline definition) for continuity
+    sec_k = amortized(
+        lambda z, cb_, o_, d_: cast_clusters_mxu(cb_, o_ + z, d_)[0][0],
+        40, cb, oj, dj)
+    log(f"raycast[kernel-only] bunny {H}x{W}: {sec_k*1e3:.2f} ms = "
+        f"{H*W/sec_k/1e6:.2f} Mrays/s")
 
     # --- secondary: HBM-streaming tier at 100k / 425k / 1.7M triangles ------
     try:

@@ -36,25 +36,48 @@ class ClusterBVH(NamedTuple):
         return self.boxes.shape[0]
 
 
-@functools.partial(jax.jit, static_argnames=("cluster_size",))
-def build_clusters(tris: Array, cluster_size: int = CLUSTER_SIZE) -> ClusterBVH:
-    """Build the cluster structure from (T, 3, 3) triangles, on device."""
-    T = tris.shape[0]
-    cent = tri_ops.centroids(tris)
-    lo = jnp.min(jnp.min(tris, axis=1), axis=0)
-    hi = jnp.max(jnp.max(tris, axis=1), axis=0)
-    codes = morton3d(cent, lo, hi)
-    order = jnp.argsort(codes).astype(jnp.int32)
+@functools.partial(jax.jit, static_argnames=("cluster_size", "order"))
+def build_clusters(tris: Array, cluster_size: int = CLUSTER_SIZE,
+                   order: str = "morton") -> ClusterBVH:
+    """Build the cluster structure from (T, 3, 3) triangles, on device.
 
+    ``order="morton"`` (default) sorts triangles by centroid Morton code so
+    clusters are spatially compact. ``order="identity"`` keeps the input
+    order — the right choice when the soup is already spatially coherent
+    (marching-cubes emission follows the grid scan order): it skips the
+    argsort + 9-float reorder gather, and ``prim_order`` becomes the
+    identity, which lets gradient scatters in cluster space map back to
+    face space with a reshape instead of a permutation.
+    """
+    T = tris.shape[0]
     pad = (-T) % cluster_size
-    # Padding slots replicate the last triangle (harmless duplicates — same
-    # closest-hit result) rather than degenerate zeros, so cluster AABBs stay
-    # tight; prim_order=-1 marks them for id remapping.
-    order_p = jnp.concatenate(
-        [order, jnp.full((pad,), order[-1] if T > 0 else 0, jnp.int32)]
-    )
-    ts = tris[order_p]  # (Tp, 3, 3)
-    prim = jnp.concatenate([order, jnp.full((pad,), -1, jnp.int32)])
+    if order == "identity":
+        # same padding trick as the morton path: replicate the last triangle
+        # so the tail cluster's AABB stays tight (zeros would drag it to the
+        # origin); prim_order=-1 marks the slots
+        last = tris[-1] if T > 0 else jnp.zeros((3, 3), tris.dtype)
+        ts = jnp.concatenate(
+            [tris, jnp.broadcast_to(last, (pad, 3, 3))], axis=0
+        )
+        prim = jnp.concatenate(
+            [jnp.arange(T, dtype=jnp.int32),
+             jnp.full((pad,), -1, jnp.int32)]
+        )
+    else:
+        cent = tri_ops.centroids(tris)
+        lo = jnp.min(jnp.min(tris, axis=1), axis=0)
+        hi = jnp.max(jnp.max(tris, axis=1), axis=0)
+        codes = morton3d(cent, lo, hi)
+        sorder = jnp.argsort(codes).astype(jnp.int32)
+
+        # Padding slots replicate the last triangle (harmless duplicates —
+        # same closest-hit result) rather than degenerate zeros, so cluster
+        # AABBs stay tight; prim_order=-1 marks them for id remapping.
+        order_p = jnp.concatenate(
+            [sorder, jnp.full((pad,), sorder[-1] if T > 0 else 0, jnp.int32)]
+        )
+        ts = tris[order_p]  # (Tp, 3, 3)
+        prim = jnp.concatenate([sorder, jnp.full((pad,), -1, jnp.int32)])
 
     C = ts.shape[0] // cluster_size
     tc = ts.reshape(C, cluster_size, 3, 3)
@@ -101,6 +124,7 @@ class MxuClusterBVH(NamedTuple):
     boxes: Array  # (C, 6) float32 cluster AABBs
     w2: Array  # (C, 48, 4*S) bfloat16: [hi; hi; lo] along contraction
     prim_order: Array  # (C*S,) int32; -1 for padding slots
+    fin: Array  # (C, 24, S) bfloat16 finish rows x3 split (see build)
 
     @property
     def num_clusters(self) -> int:
@@ -111,12 +135,23 @@ class MxuClusterBVH(NamedTuple):
         return self.w2.shape[2] // 4
 
 
-@functools.partial(jax.jit, static_argnames=("cluster_size",))
+@functools.partial(jax.jit, static_argnames=("cluster_size", "order"))
 def build_mxu_clusters(
-    tris: Array, cluster_size: int = CLUSTER_SIZE
+    tris: Array, cluster_size: int = CLUSTER_SIZE, order: str = "morton"
 ) -> MxuClusterBVH:
-    """Build the MXU cluster structure from (T, 3, 3) triangles, on device."""
-    base = build_clusters(tris, cluster_size=cluster_size)
+    """Build the MXU cluster structure from (T, 3, 3) triangles, on device.
+
+    ``fin`` packs everything the caster needs to finish a winning ray —
+    unnormalized face normal n, plane offset a.n, 1/|n|, and the ORIGINAL
+    face id as an exact float (ids < 2^24) — laid out (8, S) per cluster so
+    the kernel can select a winner's row with one (8, S) x (S, rchunk)
+    one-hot matmul on the MXU instead of the caller doing per-ray dynamic
+    gathers (~9 ns/element; the old epilogue cost ~4x the kernel at image
+    scale). This writes the reference's full per-ray output buffers (depth/
+    normal/primitive id, reference: src/prim3d/Geometry/bvh.cu:330-345) at
+    kernel speed.
+    """
+    base = build_clusters(tris, cluster_size=cluster_size, order=order)
     C = base.num_clusters
     S = cluster_size
     td = base.tri_data  # (C, S, 9): a, e1, e2
@@ -165,4 +200,29 @@ def build_mxu_clusters(
     wh = wh32.astype(jnp.bfloat16)
     wl = (w - wh32).astype(jnp.bfloat16)
     w2 = jnp.concatenate([wh, wh, wl], axis=1)  # (C, 48, 4*S)
-    return MxuClusterBVH(base.boxes, w2, base.prim_order)
+
+    # finish rows (C, 8, S): [n, a.n, 1/|n|, fid, 0, 0] per triangle slot.
+    # fid is the original face id as a float (exact below 2^24; the stream
+    # tier caps clusters at 32767 * S = 4.2M triangles); padding slots carry
+    # -1.0 so the caller's hit gate (fid >= 0) rejects them.
+    inv = 1.0 / jnp.maximum(jnp.linalg.norm(n, axis=-1), 1e-30)
+    fid = base.prim_order.reshape(C, S).astype(jnp.float32)
+    zro = jnp.zeros((C, S), jnp.float32)
+    fin32 = jnp.stack(
+        [n[..., 0], n[..., 1], n[..., 2], jnp.sum(a * n, -1), inv, fid,
+         zro, zro],
+        axis=1,
+    )  # (C, 8, S)
+    # Exact bf16x3 split stacked on the row dim: f1 + f2 + f3 == fin32 to
+    # f32 faithfulness (24-bit mantissa = 3 x 8-bit bf16 heads; integer fids
+    # below 2^24 split exactly). The kernel selects a winner's row with ONE
+    # DEFAULT-precision bf16 one-hot matmul (2 MXU tile issues instead of
+    # f32 HIGHEST's ~6 passes) and adds the three (8, rchunk) slices back.
+    f1_32 = jax.lax.reduce_precision(fin32, exponent_bits=8, mantissa_bits=7)
+    r1 = fin32 - f1_32
+    f2_32 = jax.lax.reduce_precision(r1, exponent_bits=8, mantissa_bits=7)
+    f3 = (r1 - f2_32).astype(jnp.bfloat16)
+    fin = jnp.concatenate(
+        [f1_32.astype(jnp.bfloat16), f2_32.astype(jnp.bfloat16), f3], axis=1
+    )  # (C, 24, S)
+    return MxuClusterBVH(base.boxes, w2, base.prim_order, fin)

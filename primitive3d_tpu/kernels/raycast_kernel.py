@@ -369,12 +369,12 @@ MBLOCK = 2048  # rays per program of the MXU kernel
 NCH = MBLOCK // RCHUNK
 
 
-def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
-                       depth_ref, idx_ref, w2s_ref, sem_w2, *, cluster_size,
-                       max_dist, rchunk=RCHUNK, nch=NCH):
+def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, *rest,
+                       cluster_size, max_dist, rchunk=RCHUNK, nch=NCH,
+                       with_fin=False):
     """HBM-streaming tier of the MXU cluster caster.
 
-    Work list is one word per flagged cluster — ``(c << 8) | chunk_mask``
+    Work list is one word per flagged cluster — ``(c << 16) | chunk_mask``
     (cluster-major, so SMEM cost is C words instead of the resident tier's
     C*NCH pairs) — and the per-cluster Plücker matrix ``w2[c]`` is DMA'd
     HBM -> VMEM through a 2-slot double buffer: entry e+1's fetch is started
@@ -391,11 +391,23 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
     The mask refreshes every 4th entry (8 vector->scalar max-reduces cost a
     fraction of one visit's epilogue); the whole block exits when all chunks
     have converged.
+
+    ``with_fin=True`` additionally selects each winning triangle's finish
+    row (bvh.fin: normal, plane offset, 1/|n|, face id) in-kernel via a
+    one-hot (8, S) x (S, rchunk) matmul — see :func:`_kernel_mxu`.
     """
+    if with_fin:
+        (fin_hbm_ref, r2_ref, depth_ref, idx_ref, fin_out_ref,
+         w2s_ref, sem_w2, fins_ref, sem_fin) = rest
+    else:
+        r2_ref, depth_ref, idx_ref, w2s_ref, sem_w2 = rest
+        fin_hbm_ref = fin_out_ref = fins_ref = sem_fin = None
     S = cluster_size
     tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, rchunk), 0)
     im = jnp.int32(S - 1)
     brow = jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
+    rows_chunk = jax.lax.broadcasted_iota(
+        jnp.int32, (nch * 8, rchunk), 0) // 8
 
     # precision pinned to DEFAULT: accuracy comes from the explicit
     # double-bf16 split; a global jax_default_matmul_precision=highest would
@@ -411,9 +423,12 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
     n = n_ref[0, 0, 0]
     best0 = jnp.full((nch, rchunk), max_dist, jnp.float32)
     idx0 = jnp.full((nch, rchunk), -1, jnp.int32)
+    # None is an empty pytree leaf-set: the fin state costs nothing in the
+    # loop carry when disabled
+    fin0 = jnp.zeros((nch * 8, rchunk), jnp.float32) if with_fin else None
     ALL = jnp.int32((1 << nch) - 1)
 
-    def epilogue(c, r, full, best, bidx):
+    def epilogue(c, r, full, fin_c, best, bidx, finst):
         s0 = full[0 * S:1 * S]
         s1 = full[1 * S:2 * S]
         s2 = full[2 * S:3 * S]
@@ -441,20 +456,46 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
         updr = (brow == r) & (tb < best)
         bidx = jnp.where(updr, c * S + (tsel & im), bidx)
         best = jnp.where(updr, tb, best)
-        return best, bidx
+        if with_fin:
+            # winner's finish row via one-hot matmul: ti rows are unique
+            # (low bits carry the triangle slot), so exactly one row of the
+            # (S, rchunk) one-hot is set per lane and the bf16 matmul against
+            # the exact bf16x3-split fin rows reproduces the f32 row to
+            # faithful precision (integer fids below 2^24 exactly)
+            # select in f32 first (the i1 mask lives in 32-bit (8, 128)
+            # tiling; selecting bf16 directly would need an i1 relayout to
+            # (16, 128) that Mosaic refuses), then convert
+            onehot = jnp.where(
+                ti == tsel, 1.0, 0.0
+            ).astype(jnp.bfloat16)  # (S, rchunk)
+            f3 = jax.lax.dot_general(
+                fin_c, onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (24, rchunk)
+            frow = (f3[0:8] + f3[8:16]) + f3[16:24]  # (8, rchunk)
+            upd_lane = jnp.any(updr, axis=0, keepdims=True)  # (1, rchunk)
+            ftile = jnp.concatenate([frow] * nch, axis=0)
+            finst = jnp.where((rows_chunk == r) & upd_lane, ftile, finst)
+        return best, bidx, finst
 
     def start_fetch(e):
         cn = entries_ref[0, 0, e] >> 16
         pltpu.make_async_copy(
             w2_ref.at[cn], w2s_ref.at[e & 1], sem_w2.at[e & 1]
         ).start()
+        if with_fin:
+            pltpu.make_async_copy(
+                fin_hbm_ref.at[cn], fins_ref.at[e & 1], sem_fin.at[e & 1]
+            ).start()
 
     @pl.when(n > 0)
     def _():
         start_fetch(0)
 
     def body(st):
-        e, conv, best, bidx = st
+        e, conv, best, bidx, finst = st
         word = entries_ref[0, 0, e]
         c = word >> 16
         slot = e & 1
@@ -480,40 +521,52 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, r2_ref,
         pltpu.make_async_copy(
             w2_ref.at[c], w2s_ref.at[slot], sem_w2.at[slot]
         ).wait()
+        if with_fin:
+            pltpu.make_async_copy(
+                fin_hbm_ref.at[c], fins_ref.at[slot], sem_fin.at[slot]
+            ).wait()
 
         for r in range(nch):  # static unroll over the cluster's chunk bits
             def do(carry, r=r):
-                b, bi = carry
+                b, bi, fs = carry
                 full = dot(w2s_ref[slot], r2_ref[0, r])
-                return epilogue(c, r, full, b, bi)
+                fin_c = fins_ref[slot] if with_fin else None
+                return epilogue(c, r, full, fin_c, b, bi, fs)
 
-            best, bidx = jax.lax.cond(
-                (mask >> r) & 1 != 0, do, lambda cr: cr, (best, bidx)
+            best, bidx, finst = jax.lax.cond(
+                (mask >> r) & 1 != 0, do, lambda cr: cr,
+                (best, bidx, finst)
             )
-        return e + 1, conv, best, bidx
+        return e + 1, conv, best, bidx, finst
 
     def cond(st):
         return (st[0] < n) & (st[1] != ALL)
 
-    ef, _, best, bidx = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), best0, idx0)
+    ef, _, best, bidx, finst = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), best0, idx0, fin0)
     )
 
     # early convergence exit leaves entry ef's prefetch in flight — drain it
     # so the scratch DMA semaphore is clean at kernel end
     @pl.when(ef < n)
     def _():
+        cn = entries_ref[0, 0, ef] >> 16
         pltpu.make_async_copy(
-            w2_ref.at[entries_ref[0, 0, ef] >> 16], w2s_ref.at[ef & 1],
-            sem_w2.at[ef & 1],
+            w2_ref.at[cn], w2s_ref.at[ef & 1], sem_w2.at[ef & 1]
         ).wait()
+        if with_fin:
+            pltpu.make_async_copy(
+                fin_hbm_ref.at[cn], fins_ref.at[ef & 1], sem_fin.at[ef & 1]
+            ).wait()
 
     depth_ref[0] = best
     idx_ref[0] = bidx
+    if with_fin:
+        fin_out_ref[0] = finst
 
 
-def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
-                *, cluster_size, max_dist, rchunk=RCHUNK, nch=NCH):
+def _kernel_mxu(n_ref, pairs_ref, w2_ref, *rest, cluster_size, max_dist,
+                rchunk=RCHUNK, nch=NCH, with_fin=False):
     """MXU cluster caster: one K=48 matmul per (cluster, 256-ray chunk).
 
     Layout rule: rays live in the LANE dimension everywhere — per-ray state
@@ -543,11 +596,27 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
     triangle index (monotone int32 compare == float compare for t >= 0), so
     no second eq+where+min pass is needed; depth loses only 2^-17 relative
     (the caller refines winners to exact f32, raycast._finish_hits).
+
+    ``with_fin=True`` adds in-kernel selection of each winning triangle's
+    finish row from ``bvh.fin`` (unnormalized normal, plane offset, 1/|n|,
+    original face id — see build_mxu_clusters): the (S, rchunk) one-hot of
+    the packed min right-multiplies the cluster's (8, S) fin matrix on the
+    MXU, and the winning rows ride in the loop carry. This makes the full
+    depth/normal/id production cast (reference writes all three in its one
+    kernel pass, src/prim3d/Geometry/bvh.cu:330-345) an elementwise epilogue
+    instead of ~6 dynamic gathers per ray at ~9 ns/element.
     """
+    if with_fin:
+        fin_in_ref, r2_ref, depth_ref, idx_ref, fin_out_ref = rest
+    else:
+        r2_ref, depth_ref, idx_ref = rest
+        fin_in_ref = fin_out_ref = None
     S = cluster_size
     tri_row = jax.lax.broadcasted_iota(jnp.int32, (S, rchunk), 0)
     im = jnp.int32(S - 1)  # in-cluster index mask: log2(S) low mantissa bits
     brow = jax.lax.broadcasted_iota(jnp.int32, (nch, 1), 0)
+    rows_chunk = jax.lax.broadcasted_iota(
+        jnp.int32, (nch * 8, rchunk), 0) // 8
 
     # precision pinned to DEFAULT: accuracy comes from the explicit
     # double-bf16 split; a global jax_default_matmul_precision=highest would
@@ -563,6 +632,7 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
     n = n_ref[0, 0, 0]
     best0 = jnp.full((nch, rchunk), max_dist, jnp.float32)
     idx0 = jnp.full((nch, rchunk), -1, jnp.int32)
+    fin0 = jnp.zeros((nch * 8, rchunk), jnp.float32) if with_fin else None
 
     def cond(st):
         return st[0] < n
@@ -580,7 +650,7 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
         full = dot(w2_ref[c], r2_ref[0, r])  # (4S, RCHUNK)
         return c, r, full
 
-    def epilogue(c, r, full, live, best, bidx):
+    def epilogue(c, r, full, live, best, bidx, finst):
         s0 = full[0 * S:1 * S]
         s1 = full[1 * S:2 * S]
         s2 = full[2 * S:3 * S]
@@ -621,28 +691,53 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, r2_ref, depth_ref, idx_ref,
         updr = (brow == r) & (tb < best) & live
         bidx = jnp.where(updr, c * S + (tsel & im), bidx)
         best = jnp.where(updr, tb, best)
-        return best, bidx
+        if with_fin:
+            # winner's finish row via one-hot matmul (see the fin docstring
+            # above): exactly one ti row equals the min (unique low index
+            # bits); bf16x3-split rows make the bf16 selection f32-faithful
+            # select in f32 first (the i1 mask lives in 32-bit (8, 128)
+            # tiling; selecting bf16 directly would need an i1 relayout to
+            # (16, 128) that Mosaic refuses), then convert
+            onehot = jnp.where(
+                ti == tsel, 1.0, 0.0
+            ).astype(jnp.bfloat16)  # (S, rchunk)
+            f3 = jax.lax.dot_general(
+                fin_in_ref[c], onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (24, rchunk)
+            frow = (f3[0:8] + f3[8:16]) + f3[16:24]  # (8, rchunk)
+            upd_lane = jnp.any(updr, axis=0, keepdims=True)  # (1, rchunk)
+            ftile = jnp.concatenate([frow] * nch, axis=0)
+            finst = jnp.where((rows_chunk == r) & upd_lane, ftile, finst)
+        return best, bidx, finst
 
     def body(st):
         # 4x unrolled: all dots issue before any epilogue, so the MXU
         # crunches later visits while the VPU reduces earlier ones — the
         # dot -> epilogue dependency was the dominant per-visit stall
-        e, best, bidx = st
+        e, best, bidx, finst = st
         c0, r0, full0 = load_and_dot(e)
         c1, r1, full1 = load_and_dot(e + 1)
         c2, r2_, full2 = load_and_dot(e + 2)
         c3, r3, full3 = load_and_dot(e + 3)
-        best, bidx = epilogue(c0, r0, full0, True, best, bidx)
-        best, bidx = epilogue(c1, r1, full1, e + 1 < n, best, bidx)
-        best, bidx = epilogue(c2, r2_, full2, e + 2 < n, best, bidx)
-        best, bidx = epilogue(c3, r3, full3, e + 3 < n, best, bidx)
-        return e + 4, best, bidx
+        best, bidx, finst = epilogue(c0, r0, full0, True, best, bidx, finst)
+        best, bidx, finst = epilogue(
+            c1, r1, full1, e + 1 < n, best, bidx, finst)
+        best, bidx, finst = epilogue(
+            c2, r2_, full2, e + 2 < n, best, bidx, finst)
+        best, bidx, finst = epilogue(
+            c3, r3, full3, e + 3 < n, best, bidx, finst)
+        return e + 4, best, bidx, finst
 
-    _, best, bidx = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), best0, idx0)
+    _, best, bidx, finst = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), best0, idx0, fin0)
     )
     depth_ref[0] = best
     idx_ref[0] = bidx
+    if with_fin:
+        fin_out_ref[0] = finst
 
 
 def _interval_cull(boxes, rint, max_dist):
@@ -684,6 +779,55 @@ def _interval_cull(boxes, rint, max_dist):
     return ok, jnp.maximum(tl, 0.0)
 
 
+def _ray_intervals(o: Array, d: Array, B: int, nch: int, rchunk: int):
+    """Per-(block, chunk) ray intervals for the conservative cull: origin
+    box + clamped inverse-direction bounds, interleaved
+    [oxlo,oxhi,...,ozhi, ivxlo,ivxhi,...,ivzhi] -> (B, nch, 12)."""
+    ob = o.reshape(B, nch, rchunk, 3)
+    db = d.reshape(B, nch, rchunk, 3)
+    ivb = jnp.clip(1.0 / db, -1e18, 1e18)  # finite: no 0*inf NaNs
+    oint = jnp.stack(
+        [jnp.min(ob, axis=2), jnp.max(ob, axis=2)], axis=-1
+    ).reshape(B, nch, 6)
+    ivint = jnp.stack(
+        [jnp.min(ivb, axis=2), jnp.max(ivb, axis=2)], axis=-1
+    ).reshape(B, nch, 6)
+    return jnp.concatenate([oint, ivint], axis=-1)  # (B, nch, 12)
+
+
+def _stream_entries(boxes: Array, rint: Array, max_dist: float, nch: int):
+    """Streaming-tier work list from the interval cull: per block, one word
+    per flagged cluster — ``(c << 16) | nch-bit chunk mask`` — sorted
+    front-to-back by the cluster's conservative entry bound, plus the sorted
+    bounds themselves (the kernel's convergence thresholds). Factored out of
+    :func:`_mxu_prep` so the gradient scatter kernel (_kernel_plane_bwd) can
+    rebuild the identical work list without the ray Plücker tensor."""
+    B = rint.shape[0]
+    C = boxes.shape[0]
+    ok, tl = _interval_cull(boxes, rint, max_dist)  # (B, NCH, C)
+    nondeg = jnp.any(boxes[:, 3:] > boxes[:, :3], axis=-1)
+    ok = ok & nondeg[None, None, :]
+    okc = ok.transpose(0, 2, 1)  # (B, C, NCH)
+    bits = (1 << jnp.arange(nch, dtype=jnp.int32))[None, None, :]
+    cmask = jnp.sum(okc.astype(jnp.int32) * bits, axis=-1)  # (B, C)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    words = (cid << 16) | cmask
+    # front-to-back: sort flagged clusters by their entry lower bound
+    # (min over flagged chunks); the sorted bounds ride along to SMEM as
+    # the kernel's convergence thresholds
+    tlc = tl.transpose(0, 2, 1)  # (B, C, NCH)
+    bound = jnp.min(
+        jnp.where(okc, tlc, jnp.float32(3.0e38)), axis=-1
+    )  # (B, C)
+    flagged = (cmask > 0).astype(jnp.int32)
+    _, _, entries, sbound = jax.lax.sort(
+        (1 - flagged, bound, words, bound),
+        dimension=1, num_keys=2, is_stable=True,
+    )
+    n = jnp.sum(cmask > 0, axis=1).astype(jnp.int32)[:, None, None]
+    return n, entries[:, None], sbound[:, None]
+
+
 def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool,
               rchunk: int = RCHUNK, nch: int = NCH):
     """Host-side prep for the MXU cluster kernels (pure XLA, timeable alone).
@@ -691,9 +835,9 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool,
     ``o``/``d`` are already padded to a multiple of MBLOCK. Returns
     ``(n, work, r2)``: per-block work-list lengths (B, 1, 1) for SMEM, the
     flat work list (B, 1, ...) for SMEM — (cluster, chunk) pairs for the
-    VMEM-resident tier, ``(c << 8) | chunk-mask`` cluster words for the
-    streaming tier (8x less SMEM; entry boundaries == cluster changes, which
-    the double-buffered w2 prefetch keys on) — and the double-bf16 ray
+    VMEM-resident tier, ``(c << 16) | 16-bit chunk-mask`` cluster words for
+    the streaming tier (8x less SMEM; entry boundaries == cluster changes,
+    which the double-buffered w2 prefetch keys on) — and the double-bf16 ray
     Plücker tensor r2 (B, nch, 48, rchunk).
     """
     Rp = o.shape[0]
@@ -713,20 +857,13 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool,
         [rvh, rvl, rvh], axis=2
     )  # (B, NCH, 48, RCHUNK) [hi;lo;hi]
 
-    # per-(block, chunk) ray intervals: origin box + clamped inverse-dir
-    # bounds, interleaved [oxlo,oxhi,...,ozhi, ivxlo,ivxhi,...,ivzhi]
-    ob = o.reshape(B, nch, rchunk, 3)
-    db = d.reshape(B, nch, rchunk, 3)
-    ivb = jnp.clip(1.0 / db, -1e18, 1e18)  # finite: no 0*inf NaNs
-    oint = jnp.stack(
-        [jnp.min(ob, axis=2), jnp.max(ob, axis=2)], axis=-1
-    ).reshape(B, nch, 6)
-    ivint = jnp.stack(
-        [jnp.min(ivb, axis=2), jnp.max(ivb, axis=2)], axis=-1
-    ).reshape(B, nch, 6)
-    rint = jnp.concatenate([oint, ivint], axis=-1)  # (B, NCH, 12)
+    rint = _ray_intervals(o, d, B, nch, rchunk)  # (B, NCH, 12)
 
     # flat work list from the interval cull
+    if stream:
+        n, entries, sbound = _stream_entries(
+            bvh.boxes, rint, max_dist, nch)
+        return n, entries, sbound, r2
     ok, tl = _interval_cull(bvh.boxes, rint, max_dist)  # (B, NCH, C)
     # drop degenerate clusters (zero-extent boxes): capacity-padded meshes
     # (marching_cubes_padded -> vertices[faces] with 0-padded faces) produce
@@ -734,27 +871,6 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool,
     # point boxes would otherwise pass the slab test for any ray near them
     nondeg = jnp.any(bvh.boxes[:, 3:] > bvh.boxes[:, :3], axis=-1)
     ok = ok & nondeg[None, None, :]
-
-    if stream:
-        okc = ok.transpose(0, 2, 1)  # (B, C, NCH)
-        bits = (1 << jnp.arange(nch, dtype=jnp.int32))[None, None, :]
-        cmask = jnp.sum(okc.astype(jnp.int32) * bits, axis=-1)  # (B, C)
-        cid = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
-        words = (cid << 16) | cmask
-        # front-to-back: sort flagged clusters by their entry lower bound
-        # (min over flagged chunks); the sorted bounds ride along to SMEM as
-        # the kernel's convergence thresholds
-        tlc = tl.transpose(0, 2, 1)  # (B, C, NCH)
-        bound = jnp.min(
-            jnp.where(okc, tlc, jnp.float32(3.0e38)), axis=-1
-        )  # (B, C)
-        flagged = (cmask > 0).astype(jnp.int32)
-        _, _, entries, sbound = jax.lax.sort(
-            (1 - flagged, bound, words, bound),
-            dimension=1, num_keys=2, is_stable=True,
-        )
-        n = jnp.sum(cmask > 0, axis=1).astype(jnp.int32)[:, None, None]
-        return n, entries[:, None], sbound[:, None], r2
 
     # (cluster, chunk) pairs compacted to the front, cluster-major
     okt = ok.transpose(0, 2, 1).reshape(B, C * nch)
@@ -768,7 +884,8 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_dist", "interpret", "stream", "rchunk")
+    jax.jit,
+    static_argnames=("max_dist", "interpret", "stream", "rchunk", "with_fin"),
 )
 def cast_clusters_mxu(
     bvh,
@@ -778,7 +895,8 @@ def cast_clusters_mxu(
     interpret: bool = False,
     stream: bool = False,
     rchunk: int = RCHUNK,
-) -> Tuple[Array, Array]:
+    with_fin: bool = False,
+) -> Tuple[Array, ...]:
     """Closest hit via the MXU cluster kernel: (t, sorted-triangle index).
 
     ``bvh`` is a :class:`~primitive3d_tpu.bvh.clusters.MxuClusterBVH`. Same
@@ -787,8 +905,28 @@ def cast_clusters_mxu(
     ``stream=True`` keeps it in HBM and DMAs each visited cluster's matrix
     into VMEM scratch, raising the cap to ~2M triangles; beyond that use
     :func:`cast_clusters`.
+
+    ``with_fin=True`` returns a third array (R, 8) — each ray's winning
+    finish row [n, a.n, 1/|n|, fid, 0, 0] selected in-kernel (zeros for
+    misses; gate on ``sidx >= 0``) — letting the caller produce the full
+    depth/normal/primitive-id buffers with pure elementwise math.
     """
     nch = MBLOCK // rchunk
+    if stream:
+        # the stream work word packs (cluster_id << 16) | nch-bit chunk mask
+        # into one int32: the id must stay below the sign bit and the mask
+        # within 16 bits, or the kernel's `word >> 16` / `word & 0xFFFF`
+        # silently corrupt cluster ids / drop chunks
+        if bvh.num_clusters > 32767:
+            raise ValueError(
+                f"stream tier supports at most 32767 clusters, got "
+                f"{bvh.num_clusters}; raise cluster_size"
+            )
+        if not (128 <= rchunk <= MBLOCK and rchunk & (rchunk - 1) == 0):
+            raise ValueError(
+                f"stream tier needs rchunk a power of two in [128, {MBLOCK}] "
+                f"(16-bit chunk mask), got {rchunk}"
+            )
     R = origins.shape[0]
     pad = (-R) % MBLOCK
     o = jnp.concatenate([origins, jnp.zeros((pad, 3), jnp.float32)])
@@ -806,12 +944,39 @@ def cast_clusters_mxu(
         jax.ShapeDtypeStruct((B, nch, rchunk), jnp.float32),
         jax.ShapeDtypeStruct((B, nch, rchunk), jnp.int32),
     ]
+    out_specs = [out_spec, out_spec]
+    if with_fin:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, nch * 8, rchunk), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, nch * 8, rchunk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
     n_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                           memory_space=pltpu.SMEM)
+
+    def finish(outs):
+        if not with_fin:
+            depth, idx = outs
+            return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]
+        depth, idx, fin = outs
+        finr = fin.reshape(B, nch, 8, rchunk).transpose(0, 1, 3, 2)
+        return (depth.reshape(Rp)[:R], idx.reshape(Rp)[:R],
+                finr.reshape(Rp, 8)[:R])
 
     if stream:
         csmem = pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
+        scratch = [
+            pltpu.VMEM((2, 48, 4 * bvh.cluster_size), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        fin_ops = []
+        if with_fin:
+            scratch += [
+                pltpu.VMEM((2, 24, bvh.cluster_size), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            fin_ops = [pl.BlockSpec(memory_space=pl.ANY)]  # fin in HBM
         grid_spec = pl.GridSpec(
             grid=(B,),
             in_specs=[
@@ -819,26 +984,29 @@ def cast_clusters_mxu(
                 csmem,  # entries
                 csmem,  # per-entry front-to-back bounds (f32)
                 pl.BlockSpec(memory_space=pl.ANY),  # w2 stays in HBM
+                *fin_ops,
                 r2_spec,
             ],
-            out_specs=[out_spec, out_spec],
-            scratch_shapes=[
-                pltpu.VMEM((2, 48, 4 * bvh.cluster_size), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         )
         kernel = functools.partial(
             _kernel_mxu_stream, cluster_size=bvh.cluster_size,
             max_dist=float(max_dist), rchunk=rchunk, nch=nch,
+            with_fin=with_fin,
         )
-        depth, idx = pl.pallas_call(
+        operands = ([n, work, bounds, bvh.w2, bvh.fin, r2] if with_fin
+                    else [n, work, bounds, bvh.w2, r2])
+        outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(n, work, bounds, bvh.w2, r2)
-        return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]
+        )(*operands)
+        return finish(outs)
     else:
+        fin_ops = ([pl.BlockSpec(memory_space=pltpu.VMEM)] if with_fin
+                   else [])
         grid_spec = pl.GridSpec(
             grid=(B,),
             in_specs=[
@@ -846,22 +1014,26 @@ def cast_clusters_mxu(
                 pl.BlockSpec((1, 1, C * nch), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),  # pairs
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+                *fin_ops,
                 r2_spec,
             ],
-            out_specs=[out_spec, out_spec],
+            out_specs=out_specs,
         )
         kernel = functools.partial(
             _kernel_mxu, cluster_size=bvh.cluster_size,
             max_dist=float(max_dist), rchunk=rchunk, nch=nch,
+            with_fin=with_fin,
         )
 
-    depth, idx = pl.pallas_call(
+    operands = ([n, work, bvh.w2, bvh.fin, r2] if with_fin
+                else [n, work, bvh.w2, r2])
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(n, work, bvh.w2, r2)
-    return depth.reshape(Rp)[:R], idx.reshape(Rp)[:R]
+    )(*operands)
+    return finish(outs)
 
 
 @functools.partial(
@@ -989,6 +1161,201 @@ def _mxu_sidx_nodiff_jvp(max_dist, interpret, stream, use_mxu, primals,
     return sidx, np.zeros(sidx.shape, dtype=jax.dtypes.float0)
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5))
+def _mxu_fin_nodiff(bvh, origins, dirs, max_dist, interpret, stream):
+    """Hit finding + in-kernel finish selection, opaque to AD (the hit
+    assignment is discrete; see _mxu_sidx_nodiff for why the wrapper is
+    load-bearing at flagship scale)."""
+    _, sidx, finr = cast_clusters_mxu(
+        bvh, origins, dirs, max_dist=max_dist, interpret=interpret,
+        stream=stream, with_fin=True,
+    )
+    return sidx, finr
+
+
+@_mxu_fin_nodiff.defjvp
+def _mxu_fin_nodiff_jvp(max_dist, interpret, stream, primals, tangents):
+    import numpy as np
+
+    sidx, finr = _mxu_fin_nodiff(*primals, max_dist, interpret, stream)
+    return (sidx, finr), (
+        np.zeros(sidx.shape, dtype=jax.dtypes.float0), jnp.zeros_like(finr)
+    )
+
+
+@jax.custom_vjp
+def _planes_select(planes, prim, fin4):
+    """Semantically ``planes[max(prim, 0)]`` — but the forward returns the
+    kernel's pre-selected rows ``fin4`` (same per-face data, selected on the
+    MXU by the one-hot matmul) so NO per-ray gather runs at all; only the
+    backward pays for the scatter-add of the cotangent into face space.
+    The two sides may differ by ~1 ulp (cross() association order inside
+    different jits), which perturbs neither the hit assignment nor gradient
+    validity (gradients hold the hit fixed by construction)."""
+    return fin4
+
+
+def _planes_select_fwd(planes, prim, fin4):
+    return fin4, (planes, prim)
+
+
+def _planes_select_bwd(res, g):
+    import numpy as np
+
+    planes, prim = res
+    ok = (prim >= 0)[:, None]
+    dplanes = jnp.zeros_like(planes).at[jnp.maximum(prim, 0)].add(
+        jnp.where(ok, g, 0.0)
+    )
+    return (dplanes, np.zeros(prim.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(g))
+
+
+_planes_select.defvjp(_planes_select_fwd, _planes_select_bwd)
+
+
+def _kernel_plane_bwd(n_ref, entries_ref, widxT_ref, g4_ref, out_ref, *,
+                      cluster_size, cb, nch, rchunk):
+    """Work-list gradient scatter: plane cotangents -> cluster-space rows.
+
+    The transpose of the winner-plane selection is a scatter-add of each
+    ray's (4,) cotangent into its winning triangle's row — XLA's dynamic
+    scatter runs at ~9 ns/element (~40 ms for 2M rays at 1080p). This kernel
+    instead REUSES the forward's cluster work list: for each (cluster,
+    ray-chunk) visit, the (rchunk, S) winner one-hot (one compare against a
+    lane iota — no gathers, no sorts) left-multiplies the chunk's (4,
+    rchunk) cotangents on the MXU, and the (4, S) partial sums accumulate
+    into the cluster's resident output rows. Rays whose winner is NOT in
+    this cluster contribute exact zeros, so revisiting a converged chunk is
+    harmless (the forward's convergence mask is a subset of the work list).
+
+    Grid is (JC, B): ``j`` slices the cluster range into ``cb``-cluster
+    output blocks that fit VMEM; ``b`` walks ray blocks with the output
+    block resident (zeroed at b == 0, complete after the last b).
+    """
+    S = cluster_size
+    j = pl.program_id(0)
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    n = n_ref[0, 0, 0]
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (rchunk, S), 1)
+    lo = j * cb
+
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    def body(e, _):
+        word = entries_ref[0, 0, e]
+        c = word >> 16
+        cl = c - lo
+
+        @pl.when((cl >= 0) & (cl < cb))
+        def _():
+            mask = word & jnp.int32(0xFFFF)
+            base = c * S
+            dp = jnp.zeros((4, S), jnp.float32)
+            for r in range(nch):
+                def do(dp, r=r):
+                    w = widxT_ref[0, r]  # (rchunk, 1) winner sorted index
+                    onehotT = jnp.where(
+                        w - base == lane_s, 1.0, 0.0)  # (rchunk, S)
+                    return dp + dot(g4_ref[0, r], onehotT)  # (4, S)
+
+                dp = jax.lax.cond(
+                    (mask >> r) & 1 != 0, do, lambda d_: d_, dp)
+            out_ref[cl] = out_ref[cl] + dp
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _plane_scatter_ws(g, widx, n, entries, C: int, S: int, nch: int,
+                      rchunk: int, interpret: bool):
+    """Scatter per-ray plane cotangents ``g`` (B*nch*rchunk, 4) into sorted
+    cluster space via the work-list kernel; returns (C*S, 4)."""
+    B = n.shape[0]
+    widxT = widx.reshape(B, nch, rchunk, 1)
+    g4 = g.reshape(B, nch, rchunk, 4).transpose(0, 1, 3, 2)  # (B,nch,4,rc)
+    cb = min(C, 1024)  # ~4 MB of (cb, 4->8, S) f32 output block in VMEM
+    JC = -(-C // cb)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_plane_bwd, cluster_size=S, cb=cb, nch=nch,
+            rchunk=rchunk),
+        grid=(JC, B),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda j, b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, entries.shape[-1]), lambda j, b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nch, rchunk, 1), lambda j, b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nch, 4, rchunk), lambda j, b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, 4, S), lambda j, b: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((JC * cb, 4, S), jnp.float32),
+        interpret=interpret,
+    )(n, entries, widxT, g4)
+    return out[:C].transpose(0, 2, 1).reshape(C * S, 4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _planes_select_ws(max_dist, interpret, S, nch, rchunk, planes, prim,
+                      fin4, sidx, boxes, o, d):
+    """Winner-plane selection with a WORK-LIST gradient scatter.
+
+    Same contract as :func:`_planes_select` (forward returns the kernel's
+    pre-selected rows; zero gathers), but the backward rebuilds the
+    streaming work list from (boxes, o, d) and runs _kernel_plane_bwd
+    instead of XLA's elementwise scatter. Requires the bvh to be built in
+    ``identity`` order (sorted cluster space maps to face space by
+    reshape) and the streaming tier's work-word format.
+    """
+    return fin4
+
+
+def _planes_select_ws_fwd(max_dist, interpret, S, nch, rchunk, planes, prim,
+                          fin4, sidx, boxes, o, d):
+    return fin4, (planes, prim, sidx, boxes, o, d)
+
+
+def _planes_select_ws_bwd(max_dist, interpret, S, nch, rchunk, res, g):
+    import numpy as np
+
+    planes, prim, sidx, boxes, o, d = res
+    T = planes.shape[0]
+    C = boxes.shape[0]
+    R = sidx.shape[0]
+    pad = (-R) % MBLOCK
+    gz = jnp.where((prim >= 0)[:, None], g, 0.0)
+    gp = jnp.concatenate([gz, jnp.zeros((pad, 4), g.dtype)])
+    wp = jnp.concatenate([sidx, jnp.full((pad,), -1, jnp.int32)])
+    op = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+    dp_ = jnp.concatenate([d, jnp.ones((pad, 3), jnp.float32)])
+    B = (R + pad) // MBLOCK
+    rint = _ray_intervals(op, dp_, B, nch, rchunk)
+    n, entries, _ = _stream_entries(boxes, rint, max_dist, nch)
+    dsorted = _plane_scatter_ws(gp, wp, n, entries, C, S, nch, rchunk,
+                                interpret)  # (C*S, 4)
+    dplanes = dsorted[:T]
+    zero_i = np.zeros(prim.shape, dtype=jax.dtypes.float0)
+    return (dplanes, zero_i, jnp.zeros_like(g), zero_i,
+            jnp.zeros_like(boxes), jnp.zeros_like(o), jnp.zeros_like(d))
+
+
+_planes_select_ws.defvjp(_planes_select_ws_fwd, _planes_select_ws_bwd)
+
+
 def cast_clusters_diff(
     tris: Array,
     origins: Array,
@@ -1021,30 +1388,54 @@ def cast_clusters_diff(
     T = tris.shape[0]
     use_mxu = bvh is not None or T <= scap
     tris_ng = jax.lax.stop_gradient(tris)
+    identity = bvh is None and use_mxu
     if bvh is None:
-        bvh = (build_mxu_clusters if use_mxu else build_clusters)(tris_ng)
+        bvh = (build_mxu_clusters(tris_ng, order="identity") if use_mxu
+               else build_clusters(tris_ng))
     o_ng = jax.lax.stop_gradient(origins)
     d_ng = jax.lax.stop_gradient(dirs)
-    # flagship-scale meshes (capacity-padded 256^3 extractions) exceed the
-    # VMEM-resident Plücker budget: stream clusters from HBM
-    sidx = _mxu_sidx_nodiff(
-        bvh, o_ng, d_ng, float(max_dist), interpret, use_mxu and T > cap,
-        use_mxu,
-    )
-    prim = bvh.prim_order[jnp.maximum(sidx, 0)]
-    hit = (sidx >= 0) & (prim >= 0)
-    # Differentiable depth from the hit triangle's PLANE: precompute
-    # (n, a.n) per FACE (vector ops over the soup), then gather 4 floats
-    # per ray instead of the 9-float triangle — per-ray gathers at ~9 ns/
-    # element are the dominant cost of this epilogue at 1080p. Gradients
-    # flow to the plane and hence to ``tris`` exactly as with the per-ray
-    # cross-product formulation: t = (a.n - o.n) / d.n.
+    # Differentiable depth from the hit triangle's PLANE: per-FACE plane
+    # rows (vector ops over the soup); gradients flow to the plane and
+    # hence to ``tris`` exactly as with the per-ray cross-product
+    # formulation: t = (a.n - o.n) / d.n.
     a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
     nrm = jnp.cross(b - a, c - a)  # (T, 3)
     planes = jnp.concatenate(
         [nrm, jnp.sum(a * nrm, axis=-1, keepdims=True)], axis=-1
     )  # (T, 4)
-    pr = planes[jnp.maximum(prim, 0)]  # (R, 4)
+    if use_mxu:
+        # MXU tiers run the with_fin kernel: the winner's plane row (n, a.n)
+        # and original face id are selected in-kernel on the MXU, so the
+        # forward does ZERO per-ray gathers (the old plane gather cost
+        # ~70 ms at 1080p against a 400k-face mesh); only the backward pays
+        # the scatter-add of plane cotangents into face space
+        # (_planes_select). Clusters build in identity order: MC soups are
+        # already spatially coherent, the reorder gather is skipped, and
+        # cluster space maps back to face space by reshape.
+        # Flagship-scale meshes (capacity-padded 256^3 extractions) exceed
+        # the VMEM-resident Pluecker budget: stream clusters from HBM.
+        sidx, finr = _mxu_fin_nodiff(
+            bvh, o_ng, d_ng, float(max_dist), interpret, T > cap
+        )
+        fid_f = finr[:, 5]
+        hit = (sidx >= 0) & (fid_f >= 0.0)
+        prim = jnp.where(hit, fid_f.astype(jnp.int32), -1)
+        if identity and T > cap:
+            # streaming tier + identity order: the backward scatter runs the
+            # work-list kernel (cluster-space rows -> face space by reshape)
+            pr = _planes_select_ws(
+                float(max_dist), interpret, bvh.cluster_size, NCH, RCHUNK,
+                planes, prim, finr[:, :4], sidx, bvh.boxes, o_ng, d_ng,
+            )
+        else:
+            pr = _planes_select(planes, prim, finr[:, :4])  # no gather
+    else:
+        sidx = _mxu_sidx_nodiff(
+            bvh, o_ng, d_ng, float(max_dist), interpret, False, False
+        )
+        prim = bvh.prim_order[jnp.maximum(sidx, 0)]
+        hit = (sidx >= 0) & (prim >= 0)
+        pr = planes[jnp.maximum(prim, 0)]  # (R, 4)
     den = jnp.sum(dirs * pr[:, :3], axis=-1)
     num = pr[:, 3] - jnp.sum(origins * pr[:, :3], axis=-1)
     t = num / jnp.where(den == 0, 1e-30, den)

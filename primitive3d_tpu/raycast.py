@@ -19,6 +19,14 @@ API differences from the reference, by design:
     face_id = -1 — including the OptiX variant's quirk of leaving ids
     unwritten on miss (device_programs.cu:43-45), which we fix.
   * Hits at t >= max_dist are misses (parity with mint init, bvh.cu:155).
+
+Watertightness caveat (pallas backend): the cluster kernel's sign-bit
+agreement test treats an exactly-zero Plücker side product (a ray passing
+exactly through a shared triangle edge, measure-zero in f32) as sign(+0) =
+positive / sign(-0) = negative rather than as a wildcard, so such a ray can
+miss both adjacent triangles. Grid-aligned rays against marching-cubes
+meshes are the one realistic way to produce exact zeros; perturb such rays
+or use the "mxu"/"bruteforce" backends if that edge case matters.
 """
 from __future__ import annotations
 
@@ -109,6 +117,32 @@ def _finish_data(triangles) -> Array:
     return jnp.concatenate(
         [n, jnp.sum(a * n, axis=-1, keepdims=True), inv], axis=-1
     )
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def _finish_hits_fin(finr, depth_k, sidx, o, d, max_dist: float) -> RayHits:
+    """Elementwise finish from the kernel-selected fin rows (R, 8).
+
+    ``finr`` rows are [n, a.n, 1/|n|, fid, 0, 0] for each ray's winning
+    triangle (see MxuClusterBVH.fin) — no per-ray gathers at all: the
+    kernel already selected them on the MXU. The refine recomputes the
+    winner's depth from its plane (t = (a.n - o.n) / d.n, algebraically
+    the Möller-Trumbore t) to shed the kernel's 2^-17 packed-index
+    quantisation; everything here is pure VPU math over dense buffers.
+    """
+    fid_f = finr[:, 5]
+    hit = (sidx >= 0) & (fid_f >= 0.0)
+    face_id = jnp.where(hit, fid_f.astype(jnp.int32), -1)
+    nvec = finr[:, :3]
+    den = jnp.sum(d * nvec, axis=-1)
+    t_exact = (finr[:, 3] - jnp.sum(o * nvec, axis=-1)) / jnp.where(
+        den == 0, 1e-30, den
+    )
+    ok = hit & (den != 0) & (t_exact >= 0.0) & (t_exact < max_dist)
+    depth = jnp.where(ok, t_exact, depth_k)
+    depth = jnp.where(hit, depth, jnp.float32(max_dist))
+    normals = jnp.where(hit[:, None], nvec * finr[:, 4:5], 0.0)
+    return RayHits(depth, normals, face_id)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dist",))
@@ -235,7 +269,9 @@ class PallasRayCaster(RayCaster):
         build = build_mxu_clusters if self.use_mxu else build_clusters
         self.cbvh = jax.block_until_ready(
             build(self.triangles, cluster_size=cs))
-        self._fin = _finish_data(self.triangles)  # build-once (T, 5)
+        if not self.use_mxu:
+            # only the scalar-broadcast fallback still finishes host-side
+            self._fin = _finish_data(self.triangles)  # build-once (T, 5)
 
     def cast(self, origins, directions) -> RayHits:
         from .kernels.raycast_kernel import cast_clusters, cast_clusters_mxu
@@ -245,14 +281,16 @@ class PallasRayCaster(RayCaster):
         self._debug_check_rays(o, d)
         interpret = jax.default_backend() not in ("tpu", "axon")
         if self.use_mxu:
-            depth, sidx = cast_clusters_mxu(
+            depth, sidx, finr = cast_clusters_mxu(
                 self.cbvh, o, d, max_dist=self.max_dist,
-                interpret=interpret, stream=self.mxu_stream,
+                interpret=interpret, stream=self.mxu_stream, with_fin=True,
             )
-        else:
-            depth, sidx = cast_clusters(
-                self.cbvh, o, d, max_dist=self.max_dist, interpret=interpret
+            return _finish_hits_fin(
+                finr, depth, sidx, o, d, max_dist=self.max_dist
             )
+        depth, sidx = cast_clusters(
+            self.cbvh, o, d, max_dist=self.max_dist, interpret=interpret
+        )
         return _finish_hits(
             self._fin, self.cbvh.prim_order, depth, sidx, o, d,
             max_dist=self.max_dist,

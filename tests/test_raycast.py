@@ -3,6 +3,7 @@
 The reference has NO ray-casting test or example at all (README.md:49 open
 TODO); this coverage is new design per SURVEY.md §4.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -478,3 +479,100 @@ class TestConfig:
         assert int(res.num_faces) > 0
         with pytest.raises(ValueError):
             p3d.marching_cubes_padded(grid, 0.0)
+
+
+class TestInKernelFinish:
+    """with_fin=True: the kernel selects the winner's finish row (normal,
+    plane offset, 1/|n|, original face id) via an exact one-hot bf16x3
+    matmul, so the caster's epilogue is pure elementwise math — the
+    full-buffer production path (reference writes depth/normal/id in one
+    kernel pass, bvh.cu:330-345)."""
+
+    @pytest.mark.parametrize("stream", [False, True])
+    @pytest.mark.parametrize("order", ["morton", "identity"])
+    def test_fin_rows_match_gather_epilogue(self, stream, order):
+        from primitive3d_tpu.bvh.clusters import build_mxu_clusters
+        from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_mxu
+        from primitive3d_tpu.raycast import (_finish_data, _finish_hits,
+                                             _finish_hits_fin)
+
+        rng = np.random.default_rng(99)
+        v, f = icosphere(2)
+        tris = jnp.asarray(np.asarray(v, np.float32)[np.asarray(f)])
+        mb = build_mxu_clusters(tris, order=order)
+        o, d = rays_at_sphere(700, rng)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        t2, i2 = cast_clusters_mxu(mb, o, d, interpret=True, stream=stream)
+        t, i, finr = cast_clusters_mxu(
+            mb, o, d, interpret=True, stream=stream, with_fin=True)
+        # fin selection must not perturb the hit finding at all
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(t2))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+        fast = _finish_hits_fin(finr, t, i, o, d, max_dist=10.0)
+        ref = _finish_hits(_finish_data(tris), mb.prim_order, t, i, o, d,
+                           max_dist=10.0)
+        # the gather epilogue and the in-kernel selection read the same
+        # per-face data -> identical ids, f32-faithful depth/normals
+        np.testing.assert_array_equal(
+            np.asarray(fast.face_id), np.asarray(ref.face_id))
+        np.testing.assert_allclose(
+            np.asarray(fast.depth), np.asarray(ref.depth),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(fast.normals), np.asarray(ref.normals), atol=1e-5)
+
+    def test_identity_order_prim_is_iota(self):
+        from primitive3d_tpu.bvh.clusters import build_mxu_clusters
+
+        v, f = icosphere(1)
+        tris = jnp.asarray(np.asarray(v, np.float32)[np.asarray(f)])
+        mb = build_mxu_clusters(tris, order="identity")
+        T = tris.shape[0]
+        po = np.asarray(mb.prim_order)
+        np.testing.assert_array_equal(po[:T], np.arange(T))
+        assert (po[T:] == -1).all()
+
+    def test_fin_fid_exact_at_large_ids(self):
+        """Integer face ids survive the bf16x3 split exactly (< 2^24)."""
+        from primitive3d_tpu.bvh.clusters import build_mxu_clusters
+
+        v, f = icosphere(2)
+        tris = jnp.asarray(np.asarray(v, np.float32)[np.asarray(f)])
+        mb = build_mxu_clusters(tris)
+        fin = np.asarray(mb.fin, np.float32)  # (C, 24, S)
+        rows = fin[:, 0:8] + fin[:, 8:16] + fin[:, 16:24]
+        fid = rows[:, 5].reshape(-1)
+        np.testing.assert_array_equal(
+            fid, np.asarray(mb.prim_order, np.float32))
+
+
+class TestWorkListBackward:
+    """The streaming tier's gradient scatter kernel (_kernel_plane_bwd)
+    must produce the same plane gradients as XLA's scatter-add transpose."""
+
+    def test_grad_parity_vs_xla_scatter(self):
+        from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_diff
+
+        rng = np.random.default_rng(5)
+        v, f = icosphere(3)
+        tris0 = jnp.asarray(np.asarray(v, np.float32)[np.asarray(f)])
+        T = tris0.shape[0]
+        o, d = rays_at_sphere(2300, rng)  # > 1 MXU block
+        o, d = jnp.asarray(o), jnp.asarray(d)
+
+        def loss(ts, cap):
+            # cap < T forces the streaming tier; identity order + ws kernel
+            dep, _ = cast_clusters_diff(
+                ts, o, d, max_dist=10.0, interpret=True, mxu_max_tris=cap)
+            return jnp.sum(dep * dep)
+
+        # ws path (stream, cap tiny) vs XLA-scatter path (resident)
+        g_ws = jax.grad(lambda ts: loss(ts, 64))(tris0)
+        g_ref = jax.grad(lambda ts: loss(ts, T + 1))(tris0)
+        # identical hit assignments (stream == resident bit-exact), so the
+        # two backward implementations see the same cotangents; tolerance
+        # covers f32 accumulation-order noise only
+        np.testing.assert_allclose(
+            np.asarray(g_ws), np.asarray(g_ref), rtol=1e-4, atol=2e-5)
+        assert float(jnp.sum(jnp.abs(g_ws))) > 0

@@ -57,7 +57,7 @@ def main():
             [jnp.min(ivb, axis=2), jnp.max(ivb, axis=2)], axis=-1
         ).reshape(B, NCH, 6)
         rint = jnp.concatenate([oint, ivint], axis=-1)
-        ok = _interval_cull(bvh.boxes, rint, 10.0)
+        ok, _ = _interval_cull(bvh.boxes, rint, 10.0)
         nondeg = jnp.any(bvh.boxes[:, 3:] > bvh.boxes[:, :3], axis=-1)
         ok = ok & nondeg[None, None, :]
 

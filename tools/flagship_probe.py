@@ -216,9 +216,11 @@ def stage_split(d):
     t_prep = slope_time(lambda: prep_fn(jnp.float32(0)), 5)
     n, work, _, _ = _mxu_prep(bvh, op, dp, 10.0, True)
     words = np.asarray(work)[:, 0]
-    masks = words & 0xFF
-    visits = int(np.unpackbits(masks.astype(np.uint8)[..., None],
-                               axis=-1).sum())
+    # stream work word is (c << 16) | 16-bit chunk mask; unpack the full
+    # 16 mask bits so the stat tracks rchunk < 256 (nch > 8) configurations
+    masks = (words & 0xFFFF).astype(np.uint16)
+    visits = int(np.unpackbits(
+        masks[..., None].view(np.uint8), axis=-1).sum())
     ncl = int(np.asarray(n).sum())
     B = op.shape[0] // MBLOCK
     # one visit = one (48, 4S)x(48, RCHUNK) bf16 matmul
