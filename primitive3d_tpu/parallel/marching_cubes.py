@@ -91,12 +91,16 @@ def sharded_marching_cubes(
         density = jnp.concatenate(
             [density, jnp.broadcast_to(density[-1:], (Xp - X, Y, Z))], axis=0
         )
-    Xs = Xp // S
     thresh = jnp.float32(thresh)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
+    impl = functools.partial(
+        mc_shard_body, thresh=thresh, axis_name=axis_name, S=S, Xv=Xv,
+        vert_cap_per_shard=vert_cap_per_shard,
+        face_cap_per_shard=face_cap_per_shard,
+        vert_units=vert_units, cube_units=cube_units,
+    )
+    impl = functools.partial(
+        shard_map, mesh=mesh,
         in_specs=(P(axis_name, None, None),),
         out_specs=(
             P(axis_name, None),  # vertices
@@ -106,8 +110,24 @@ def sharded_marching_cubes(
             P(axis_name),  # vert_count
             P(axis_name),  # face_count
         ),
-    )
-    def impl(slab: Array):
+    )(impl)
+    v, f, vb, fb, vc, fc = impl(density)
+    return ShardedMCResult(v, f, vb, fb, vc, fc)
+
+
+def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
+                  vert_cap_per_shard: int, face_cap_per_shard: int,
+                  vert_units: int = 0, cube_units: int = 0):
+    """Per-shard marching-cubes body — the inside of
+    :func:`sharded_marching_cubes`'s shard_map, exposed so larger sharded
+    programs (the flagship pipeline) can compose it inside their OWN
+    shard_map. ``slab`` is this shard's (Xs, Y, Z) x-slab; collective ops
+    run over ``axis_name`` of the enclosing mesh. Returns per-shard
+    ``(verts, faces, vert_base[1], face_base[1], vert_count[1],
+    face_count[1])`` with faces carrying globally consistent vertex ids.
+    """
+    if True:  # keep the original body's indentation
+        Xs, Y, Z = slab.shape
         s = jax.lax.axis_index(axis_name)
         # --- halo exchange: receive the next shard's first row -------------
         first_row = slab[0:1]
@@ -303,9 +323,6 @@ def sharded_marching_cubes(
             vcount[None],
             fcount[None],
         )
-
-    v, f, vb, fb, vc, fc = impl(density)
-    return ShardedMCResult(v, f, vb, fb, vc, fc)
 
 
 def gather_sharded_mesh(res: ShardedMCResult) -> Tuple[Array, Array]:

@@ -108,20 +108,17 @@ class TestShardedMC:
 
 
 class TestShardedPipeline:
-    @pytest.mark.parametrize("backend", ["mxu", "pallas"])
-    def test_loss_and_grad_match_single_device(self, backend):
-        """Sharded flagship step == single-device step (loss and gradient)."""
-        from primitive3d_tpu.parallel.pipeline import sharded_sdf_fitting_loss
-        from primitive3d_tpu.pipeline import sdf_fitting_loss
-
-        mesh = make_mesh(8, axis_name="data")
-        n = 16
+    @staticmethod
+    def _problem(n=16, R=256):
         x, y, z = np.mgrid[:n, :n, :n].astype(np.float32)
-        c, r = n / 2.0, n / 4.0
+        # deliberately asymmetric: a perfectly centred sphere produces exact
+        # depth ties between mirror triangles, which the two compositions'
+        # different cluster numberings may break differently (same loss,
+        # gradient on a different-but-equally-valid winner)
+        c, r = n / 2.0 + 0.37, n / 4.0 - 0.13
         dens = jnp.asarray(
             -((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2 - r**2) / n
         )
-        R = 256
         o = np.tile(np.array([c, c, -2.0 * n], np.float32), (R, 1))
         g = int(np.sqrt(R))
         ys, xs = np.mgrid[0:g, 0:g]
@@ -134,15 +131,23 @@ class TestShardedPipeline:
             -1,
         ).astype(np.float32)
         d /= np.linalg.norm(d, axis=1, keepdims=True)
-        o, d = jnp.asarray(o), jnp.asarray(d)
         target = jnp.full((R,), 24.0, jnp.float32)
-        kw = dict(
-            vert_capacity=1024, face_capacity=2048, max_dist=100.0,
-            backend=backend,
-        )
+        return dens, jnp.asarray(o), jnp.asarray(d), target
+
+    def test_loss_and_grad_match_single_device(self):
+        """Sharded flagship step (sharded MC extraction + gathered mesh +
+        ray-DP cast) == single-device step, in loss AND density gradient —
+        the full composition of round 4's parallel/pipeline rework."""
+        from primitive3d_tpu.parallel.pipeline import sharded_sdf_fitting_loss
+        from primitive3d_tpu.pipeline import sdf_fitting_loss
+
+        mesh = make_mesh(8, axis_name="data")
+        dens, o, d, target = self._problem()
+        kw = dict(vert_capacity=4096, face_capacity=8192, max_dist=100.0)
 
         l1, g1 = jax.value_and_grad(
-            lambda gg: sdf_fitting_loss(gg, o, d, target, **kw)
+            lambda gg: sdf_fitting_loss(
+                gg, o, d, target, backend="pallas", **kw)
         )(dens)
         ls, gs = jax.value_and_grad(
             lambda gg: sharded_sdf_fitting_loss(mesh, gg, o, d, target, **kw)
@@ -152,6 +157,33 @@ class TestShardedPipeline:
         np.testing.assert_allclose(
             np.asarray(gs), np.asarray(g1), rtol=1e-4, atol=1e-6
         )
+        assert float(jnp.sum(jnp.abs(g1))) > 0
+
+    def test_world_bounds_match_single_device(self):
+        """lower/upper bbox handling must match the single-chip scale rule."""
+        from primitive3d_tpu.parallel.pipeline import sharded_sdf_fitting_loss
+        from primitive3d_tpu.pipeline import sdf_fitting_loss
+
+        mesh = make_mesh(8, axis_name="data")
+        n = 16
+        ax = np.linspace(-1, 1, n).astype(np.float32)
+        x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+        dens = jnp.asarray(0.6 - np.sqrt(x * x + y * y + z * z))
+        R = 64
+        o = jnp.asarray(np.tile(np.array([0, 0, -2.5], np.float32), (R, 1)))
+        g = int(np.sqrt(R))
+        ys, xs = np.mgrid[0:g, 0:g]
+        d = np.stack([(xs.ravel() + 0.5) / g - 0.5,
+                      (ys.ravel() + 0.5) / g - 0.5,
+                      np.full(R, 2.0, np.float32)], -1).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+        target = jnp.full((R,), 1.9, jnp.float32)
+        kw = dict(vert_capacity=4096, face_capacity=8192, max_dist=10.0,
+                  lower=(-1, -1, -1), upper=(1, 1, 1))
+
+        l1 = sdf_fitting_loss(dens, o, d, target, backend="pallas", **kw)
+        ls = sharded_sdf_fitting_loss(mesh, dens, o, d, target, **kw)
+        assert float(l1) == pytest.approx(float(ls), rel=1e-5)
 
 
 class TestShardedRaycast:
