@@ -288,6 +288,40 @@ def main():
 
         sec = amortized(mt, K=20)
         log(f"MT 12045 tets: {sec*1e3:.2f} ms = {tets.shape[0]/sec/1e6:.2f} Mtet/s")
+
+        # BASELINE config-2 scale: sphere SDF over a 128^3 lattice split
+        # into 6 tets/cell (12.2M tets) — the full-scale version of the
+        # reference's sphere_tetrahedra example
+        from primitive3d_tpu.ops.marching_tetrahedra import (
+            grid_tetrahedra, marching_tetrahedra_padded)
+
+        n2 = 128
+        pts2_np, tets2_np = grid_tetrahedra(n2)
+        c2 = (n2 - 1) / 2.0
+        sdf2 = ((n2 / 4.0)
+                - np.linalg.norm(pts2_np - c2, axis=1)).astype(np.float32)
+        pts2 = jnp.asarray(pts2_np)
+        tets2 = jnp.asarray(tets2_np)
+        sdf2j = jnp.asarray(sdf2)
+        r0 = marching_tetrahedra_padded(
+            pts2, tets2, sdf2j, vert_capacity=1 << 17, face_capacity=1 << 18
+        )
+        nv2 = int(r0.num_vertices)
+        nf2 = int(r0.num_faces)
+        assert not bool(r0.overflowed)
+        log(f"MT 128^3 counts: {nv2} verts, {nf2} faces")
+
+        def mt2(z, pts_, tets_, sdf_):
+            r = marching_tetrahedra_padded(
+                pts_ + z, tets_, sdf_,
+                vert_capacity=1 << 17, face_capacity=1 << 18,
+            )
+            return (jnp.sum(r.vertices)
+                    + jnp.sum(r.faces).astype(jnp.float32))
+
+        sec = amortized(mt2, 5, pts2, tets2, sdf2j)
+        log(f"MT 128^3 lattice ({tets2_np.shape[0]} tets): "
+            f"{sec*1e3:.2f} ms = {tets2_np.shape[0]/sec/1e6:.2f} Mtet/s")
     except Exception as e:  # noqa: BLE001
         log(f"MT section failed: {e}")
 

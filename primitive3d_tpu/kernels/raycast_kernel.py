@@ -1214,147 +1214,6 @@ def _planes_select_bwd(res, g):
 _planes_select.defvjp(_planes_select_fwd, _planes_select_bwd)
 
 
-def _kernel_plane_bwd(n_ref, entries_ref, widxT_ref, g4_ref, out_ref, *,
-                      cluster_size, cb, nch, rchunk):
-    """Work-list gradient scatter: plane cotangents -> cluster-space rows.
-
-    The transpose of the winner-plane selection is a scatter-add of each
-    ray's (4,) cotangent into its winning triangle's row — XLA's dynamic
-    scatter runs at ~9 ns/element (~40 ms for 2M rays at 1080p). This kernel
-    instead REUSES the forward's cluster work list: for each (cluster,
-    ray-chunk) visit, the (rchunk, S) winner one-hot (one compare against a
-    lane iota — no gathers, no sorts) left-multiplies the chunk's (4,
-    rchunk) cotangents on the MXU, and the (4, S) partial sums accumulate
-    into the cluster's resident output rows. Rays whose winner is NOT in
-    this cluster contribute exact zeros, so revisiting a converged chunk is
-    harmless (the forward's convergence mask is a subset of the work list).
-
-    Grid is (JC, B): ``j`` slices the cluster range into ``cb``-cluster
-    output blocks that fit VMEM; ``b`` walks ray blocks with the output
-    block resident (zeroed at b == 0, complete after the last b).
-    """
-    S = cluster_size
-    j = pl.program_id(0)
-    b = pl.program_id(1)
-
-    @pl.when(b == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    n = n_ref[0, 0, 0]
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (rchunk, S), 1)
-    lo = j * cb
-
-    dot = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-
-    def body(e, _):
-        word = entries_ref[0, 0, e]
-        c = word >> 16
-        cl = c - lo
-
-        @pl.when((cl >= 0) & (cl < cb))
-        def _():
-            mask = word & jnp.int32(0xFFFF)
-            base = c * S
-            dp = jnp.zeros((4, S), jnp.float32)
-            for r in range(nch):
-                def do(dp, r=r):
-                    w = widxT_ref[0, r]  # (rchunk, 1) winner sorted index
-                    onehotT = jnp.where(
-                        w - base == lane_s, 1.0, 0.0)  # (rchunk, S)
-                    return dp + dot(g4_ref[0, r], onehotT)  # (4, S)
-
-                dp = jax.lax.cond(
-                    (mask >> r) & 1 != 0, do, lambda d_: d_, dp)
-            out_ref[cl] = out_ref[cl] + dp
-        return 0
-
-    jax.lax.fori_loop(0, n, body, 0)
-
-
-def _plane_scatter_ws(g, widx, n, entries, C: int, S: int, nch: int,
-                      rchunk: int, interpret: bool):
-    """Scatter per-ray plane cotangents ``g`` (B*nch*rchunk, 4) into sorted
-    cluster space via the work-list kernel; returns (C*S, 4)."""
-    B = n.shape[0]
-    widxT = widx.reshape(B, nch, rchunk, 1)
-    g4 = g.reshape(B, nch, rchunk, 4).transpose(0, 1, 3, 2)  # (B,nch,4,rc)
-    cb = min(C, 1024)  # ~4 MB of (cb, 4->8, S) f32 output block in VMEM
-    JC = -(-C // cb)
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel_plane_bwd, cluster_size=S, cb=cb, nch=nch,
-            rchunk=rchunk),
-        grid=(JC, B),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda j, b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, entries.shape[-1]), lambda j, b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nch, rchunk, 1), lambda j, b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nch, 4, rchunk), lambda j, b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((cb, 4, S), lambda j, b: (j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((JC * cb, 4, S), jnp.float32),
-        interpret=interpret,
-    )(n, entries, widxT, g4)
-    return out[:C].transpose(0, 2, 1).reshape(C * S, 4)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _planes_select_ws(max_dist, interpret, S, nch, rchunk, planes, prim,
-                      fin4, sidx, boxes, o, d):
-    """Winner-plane selection with a WORK-LIST gradient scatter.
-
-    Same contract as :func:`_planes_select` (forward returns the kernel's
-    pre-selected rows; zero gathers), but the backward rebuilds the
-    streaming work list from (boxes, o, d) and runs _kernel_plane_bwd
-    instead of XLA's elementwise scatter. Requires the bvh to be built in
-    ``identity`` order (sorted cluster space maps to face space by
-    reshape) and the streaming tier's work-word format.
-    """
-    return fin4
-
-
-def _planes_select_ws_fwd(max_dist, interpret, S, nch, rchunk, planes, prim,
-                          fin4, sidx, boxes, o, d):
-    return fin4, (planes, prim, sidx, boxes, o, d)
-
-
-def _planes_select_ws_bwd(max_dist, interpret, S, nch, rchunk, res, g):
-    import numpy as np
-
-    planes, prim, sidx, boxes, o, d = res
-    T = planes.shape[0]
-    C = boxes.shape[0]
-    R = sidx.shape[0]
-    pad = (-R) % MBLOCK
-    gz = jnp.where((prim >= 0)[:, None], g, 0.0)
-    gp = jnp.concatenate([gz, jnp.zeros((pad, 4), g.dtype)])
-    wp = jnp.concatenate([sidx, jnp.full((pad,), -1, jnp.int32)])
-    op = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
-    dp_ = jnp.concatenate([d, jnp.ones((pad, 3), jnp.float32)])
-    B = (R + pad) // MBLOCK
-    rint = _ray_intervals(op, dp_, B, nch, rchunk)
-    n, entries, _ = _stream_entries(boxes, rint, max_dist, nch)
-    dsorted = _plane_scatter_ws(gp, wp, n, entries, C, S, nch, rchunk,
-                                interpret)  # (C*S, 4)
-    dplanes = dsorted[:T]
-    zero_i = np.zeros(prim.shape, dtype=jax.dtypes.float0)
-    return (dplanes, zero_i, jnp.zeros_like(g), zero_i,
-            jnp.zeros_like(boxes), jnp.zeros_like(o), jnp.zeros_like(d))
-
-
-_planes_select_ws.defvjp(_planes_select_ws_fwd, _planes_select_ws_bwd)
-
 
 def cast_clusters_diff(
     tris: Array,
@@ -1420,15 +1279,14 @@ def cast_clusters_diff(
         fid_f = finr[:, 5]
         hit = (sidx >= 0) & (fid_f >= 0.0)
         prim = jnp.where(hit, fid_f.astype(jnp.int32), -1)
-        if identity and T > cap:
-            # streaming tier + identity order: the backward scatter runs the
-            # work-list kernel (cluster-space rows -> face space by reshape)
-            pr = _planes_select_ws(
-                float(max_dist), interpret, bvh.cluster_size, NCH, RCHUNK,
-                planes, prim, finr[:, :4], sidx, bvh.boxes, o_ng, d_ng,
-            )
-        else:
-            pr = _planes_select(planes, prim, finr[:, :4])  # no gather
+        # Backward: XLA's scatter-add of the (R, 4) plane cotangents. On
+        # the REAL index distribution (raster-order rays x identity-order
+        # faces -> nearly sorted winner ids) this measured 0.9 ms at 1080p/
+        # 400k faces — a work-list Pallas scatter kernel that reused the
+        # forward's cluster entries measured 36.5 ms on the same input, and
+        # the r3 scatter_probe's 170 ms figure holds only for RANDOM
+        # indices. The structural fix is index coherence, not a kernel.
+        pr = _planes_select(planes, prim, finr[:, :4])  # no gather
     else:
         sidx = _mxu_sidx_nodiff(
             bvh, o_ng, d_ng, float(max_dist), interpret, False, False

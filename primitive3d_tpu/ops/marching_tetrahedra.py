@@ -263,3 +263,36 @@ def marching_tetrahedra(
     if return_tet_idx:
         return res.vertices[:nv], res.faces[:nf], res.tet_idx[:nf]
     return res.vertices[:nv], res.faces[:nf]
+
+
+def grid_tetrahedra(n: int):
+    """Kuhn 6-tetrahedra split of an (n, n, n) vertex lattice.
+
+    BASELINE.md config 2 is marching tetrahedra over a 128^3 sphere SDF —
+    the reference example ships a small precomputed tet file; this builds
+    the full-scale input: vertices are the n^3 lattice points (index
+    space), and every cell [i,i+1]x[j,j+1]x[k,k+1] splits into the six
+    tetrahedra along its main diagonal (0,7): (0,1,3,7), (0,3,2,7),
+    (0,2,6,7), (0,6,4,7), (0,4,5,7), (0,5,1,7) with corner c at offset
+    ((c>>0)&1, (c>>1)&1, (c>>2)&1). Adjacent cells share the diagonal
+    direction, so faces are consistent across cells. Returns
+    ``(points (n^3, 3) float32, tets (6*(n-1)^3, 4) int32)``.
+    """
+    ax = np.arange(n, dtype=np.float32)
+    pts = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+    i, j, k = np.meshgrid(np.arange(n - 1), np.arange(n - 1),
+                          np.arange(n - 1), indexing="ij")
+    base = (i * n + j) * n + k  # corner 0 of each cell, flat id
+    base = base.reshape(-1)
+
+    def corner(c):
+        dx, dy, dz = (c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1
+        return base + (dx * n + dy) * n + dz
+
+    paths = [(0, 1, 3, 7), (0, 3, 2, 7), (0, 2, 6, 7),
+             (0, 6, 4, 7), (0, 4, 5, 7), (0, 5, 1, 7)]
+    tets = np.stack(
+        [np.stack([corner(c) for c in quad], axis=-1) for quad in paths],
+        axis=1,
+    ).reshape(-1, 4).astype(np.int32)
+    return pts, tets

@@ -58,10 +58,16 @@ class ShardedMCResult(NamedTuple):
 
 
 def _row_ids(c: Array) -> Array:
-    """Exclusive within-row ranks for a (rows, ...) crossing mask."""
+    """Exclusive within-row ranks for a (rows, ...) crossing mask.
+
+    Row-major flat exclusive scan (the MXU triangular-matmul scan —
+    a direct per-row ``jnp.cumsum`` over millions of elements lowers to
+    log-depth passes on TPU and was the bulk of the sharded op's fixed
+    overhead at S=1) minus each row's starting offset."""
     rows = c.shape[0]
     flat = c.reshape(rows, -1).astype(jnp.int32)
-    return (jnp.cumsum(flat, axis=1) - flat).reshape(c.shape)
+    g = _excl_cumsum_flat(flat.reshape(-1)).reshape(rows, -1)
+    return (g - g[:, 0:1]).reshape(c.shape)
 
 
 def sharded_marching_cubes(

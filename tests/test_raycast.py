@@ -547,11 +547,15 @@ class TestInKernelFinish:
             fid, np.asarray(mb.prim_order, np.float32))
 
 
-class TestWorkListBackward:
-    """The streaming tier's gradient scatter kernel (_kernel_plane_bwd)
-    must produce the same plane gradients as XLA's scatter-add transpose."""
+class TestDiffCastBackward:
+    """Gradients of the differentiable cast must not depend on the kernel
+    tier: the streaming tier (HBM DMA + in-kernel fin) and the resident
+    tier must produce the same plane/soup gradients. (A work-list Pallas
+    scatter kernel for the backward was built and measured in round 4:
+    36.5 ms vs XLA's 0.9 ms scatter-add on the real nearly-sorted winner
+    distribution at 1080p/400k faces — XLA wins, so the scatter stays.)"""
 
-    def test_grad_parity_vs_xla_scatter(self):
+    def test_grad_parity_stream_vs_resident(self):
         from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_diff
 
         rng = np.random.default_rng(5)
@@ -567,7 +571,7 @@ class TestWorkListBackward:
                 ts, o, d, max_dist=10.0, interpret=True, mxu_max_tris=cap)
             return jnp.sum(dep * dep)
 
-        # ws path (stream, cap tiny) vs XLA-scatter path (resident)
+        # stream tier (cap tiny) vs resident tier
         g_ws = jax.grad(lambda ts: loss(ts, 64))(tris0)
         g_ref = jax.grad(lambda ts: loss(ts, T + 1))(tris0)
         # identical hit assignments (stream == resident bit-exact), so the

@@ -119,3 +119,36 @@ class TestMosaicKernels:
         g = np.load("tests/goldens/bunny_mc.npz")
         assert v.shape[0] == g["v"].shape[0]
         assert f.shape[0] == g["f"].shape[0]
+
+
+def test_mc_512_grid_smoke():
+    """512^3 extraction: the edge mask is 4e8 elements — past the 2^27
+    packed-sort-key boundary (_mask_sort_idx takes the pair path) and the
+    natural next scale after the flagship's 256^3. Reduced-region sphere so
+    tight capacities stay modest; asserts no overflow and exact counts."""
+    _require_tpu()
+    from primitive3d_tpu.ops.marching_cubes import (_counts_impl,
+                                                    marching_cubes_padded)
+
+    n = 512
+    ax = jnp.linspace(-1.0, 1.0, n)
+    x, y, z = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    d = 0.25 - jnp.sqrt(x * x + y * y + z * z)  # small sphere, ~fewer verts
+
+    nv, nf, vu, cu, na = (int(q) for q in _counts_impl(d, jnp.float32(0)))
+    assert nv > 0 and nf > 0
+    r4k = lambda q: -(-int(q * 1.05) // 4096) * 4096
+    res = marching_cubes_padded(
+        d, 0.0, vert_capacity=r4k(nv), face_capacity=r4k(nf),
+        vert_units=r4k(vu), cube_units=r4k(cu), active_capacity=r4k(na),
+        lower=(-1, -1, -1), upper=(1, 1, 1),
+    )
+    assert not bool(res.overflowed)
+    v = np.asarray(res.vertices)
+    nz = int((np.abs(v).sum(1) > 0).sum())
+    assert abs(nz - nv) <= 1  # vertex exactly at the origin would zero-sum
+    f = np.asarray(res.faces)
+    assert f.max() < r4k(nv)
+    # surface sanity: all vertices on the r=0.25 sphere
+    r = np.linalg.norm(v[: nv], axis=1)
+    assert np.all(np.abs(r - 0.25) < 0.01)
