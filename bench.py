@@ -194,15 +194,20 @@ def main():
     try:
         from primitive3d_tpu.parallel.mesh import make_mesh
         from primitive3d_tpu.parallel.raycast import make_sharded_cast
-        from primitive3d_tpu.raycast import create_raycaster
 
         mesh = make_mesh(axis_name="data")
         nd = mesh.devices.size
-        rc = create_raycaster(vb, fb, backend="pallas")
-        scast = make_sharded_cast(rc, mesh)
-        sec = amortized(lambda z: scast(oj + z, dj).depth[0], K=10)
-        log(f"raycast[sharded x{nd}]: {sec*1e3:.2f} ms = "
-            f"{H*W/sec/1e6:.2f} Mrays/s")
+        scast = make_sharded_cast(rc, mesh)  # same caster as the primary
+
+        def sprod(z):
+            h = scast(oj + z, dj)
+            return (jnp.sum(h.depth) + jnp.sum(h.normals)
+                    + jnp.sum(h.face_id).astype(jnp.float32))
+
+        sec = amortized(sprod, K=10)
+        log(f"raycast[sharded x{nd}] production: {sec*1e3:.2f} ms = "
+            f"{H*W/sec/1e6:.2f} Mrays/s (vs single-chip production above; "
+            f"x1 gap = shard_map fixed overhead)")
 
         from primitive3d_tpu.parallel.marching_cubes import (
             sharded_marching_cubes)

@@ -1214,6 +1214,150 @@ def _planes_select_bwd(res, g):
 _planes_select.defvjp(_planes_select_fwd, _planes_select_bwd)
 
 
+def _kernel_plane_bwd(n_ref, entries_ref, widx_ref, g4_ref, out_ref, *,
+                      cluster_size, cb, nch, rchunk):
+    """Work-list gradient scatter: plane cotangents -> cluster-space rows.
+
+    The transpose of the winner-plane selection is a scatter-add of each
+    ray's (4,) cotangent into its winning triangle's row — XLA's dynamic
+    scatter costs ~80 ms in the flagship grad program (2M rays, 400k
+    faces). This kernel instead REUSES the forward's cluster work list:
+    for each (cluster, ray-chunk) visit, the (S, rchunk) winner one-hot
+    (the same cheap lane-major compare the forward's fin selection uses —
+    no gathers, no sorts) left-multiplies the chunk's (rchunk, 4)
+    cotangents on the MXU; the per-entry (S, 4) sum is transposed once and
+    accumulated into the cluster's resident (4, S) output rows. Rays whose
+    winner is NOT in this cluster contribute exact zeros, so revisiting a
+    converged chunk is harmless (the forward's convergence mask is a
+    subset of the work list).
+
+    Grid is (JC, B): ``j`` slices the cluster range into ``cb``-cluster
+    output blocks that fit VMEM; ``b`` walks ray blocks with the output
+    block resident (zeroed at b == 0, complete after the last b).
+    """
+    S = cluster_size
+    j = pl.program_id(0)
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    n = n_ref[0, 0, 0]
+    sub_s = jax.lax.broadcasted_iota(jnp.int32, (S, rchunk), 0)
+    lo = j * cb
+
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    def body(e, _):
+        word = entries_ref[0, 0, e]
+        c = word >> 16
+        cl = c - lo
+
+        @pl.when((cl >= 0) & (cl < cb))
+        def _():
+            mask = word & jnp.int32(0xFFFF)
+            base = c * S
+            dpT = jnp.zeros((S, 4), jnp.float32)
+            for r in range(nch):
+                def do(dpT, r=r):
+                    w = widx_ref[0, r]  # (1, rchunk) winner sorted index
+                    onehot = jnp.where(
+                        w - base == sub_s, 1.0, 0.0)  # (S, rchunk)
+                    return dpT + dot(onehot, g4_ref[0, r])  # (S, 4)
+
+                dpT = jax.lax.cond(
+                    (mask >> r) & 1 != 0, do, lambda d_: d_, dpT)
+            out_ref[cl] = out_ref[cl] + dpT.T
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _plane_scatter_ws(g, widx, n, entries, C: int, S: int, nch: int,
+                      rchunk: int, interpret: bool):
+    """Scatter per-ray plane cotangents ``g`` (B*nch*rchunk, 4) into sorted
+    cluster space via the work-list kernel; returns (C*S, 4)."""
+    B = n.shape[0]
+    widx4 = widx.reshape(B, nch, 1, rchunk)
+    g4 = g.reshape(B, nch, rchunk, 4)  # rays in sublanes — natural layout
+    cb = min(C, 1024)  # ~4 MB of (cb, 4->8, S) f32 output block in VMEM
+    JC = -(-C // cb)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_plane_bwd, cluster_size=S, cb=cb, nch=nch,
+            rchunk=rchunk),
+        grid=(JC, B),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda j, b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, entries.shape[-1]), lambda j, b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nch, 1, rchunk), lambda j, b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nch, rchunk, 4), lambda j, b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, 4, S), lambda j, b: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((JC * cb, 4, S), jnp.float32),
+        interpret=interpret,
+    )(n, entries, widx4, g4)
+    return out[:C].transpose(0, 2, 1).reshape(C * S, 4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _planes_select_ws(max_dist, interpret, S, nch, rchunk, planes, prim,
+                      fin4, sidx, boxes, o, d):
+    """Winner-plane selection with a WORK-LIST gradient scatter.
+
+    Same contract as :func:`_planes_select` (forward returns the kernel's
+    pre-selected rows; zero gathers), but the backward rebuilds the
+    streaming work list from (boxes, o, d) and runs _kernel_plane_bwd
+    instead of XLA's elementwise scatter. Requires the bvh to be built in
+    ``identity`` order (sorted cluster space maps to face space by
+    reshape) and the streaming tier's work-word format.
+    """
+    return fin4
+
+
+def _planes_select_ws_fwd(max_dist, interpret, S, nch, rchunk, planes, prim,
+                          fin4, sidx, boxes, o, d):
+    return fin4, (planes, prim, sidx, boxes, o, d)
+
+
+def _planes_select_ws_bwd(max_dist, interpret, S, nch, rchunk, res, g):
+    import numpy as np
+
+    planes, prim, sidx, boxes, o, d = res
+    T = planes.shape[0]
+    C = boxes.shape[0]
+    R = sidx.shape[0]
+    pad = (-R) % MBLOCK
+    gz = jnp.where((prim >= 0)[:, None], g, 0.0)
+    gp = jnp.concatenate([gz, jnp.zeros((pad, 4), g.dtype)])
+    wp = jnp.concatenate([sidx, jnp.full((pad,), -1, jnp.int32)])
+    op = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+    dp_ = jnp.concatenate([d, jnp.ones((pad, 3), jnp.float32)])
+    B = (R + pad) // MBLOCK
+    rint = _ray_intervals(op, dp_, B, nch, rchunk)
+    n, entries, _ = _stream_entries(boxes, rint, max_dist, nch)
+    dsorted = _plane_scatter_ws(gp, wp, n, entries, C, S, nch, rchunk,
+                                interpret)  # (C*S, 4)
+    dplanes = dsorted[:T]
+    zero_i = np.zeros(prim.shape, dtype=jax.dtypes.float0)
+    return (dplanes, zero_i, jnp.zeros_like(g), zero_i,
+            jnp.zeros_like(boxes), jnp.zeros_like(o), jnp.zeros_like(d))
+
+
+_planes_select_ws.defvjp(_planes_select_ws_fwd, _planes_select_ws_bwd)
+
+
 
 def cast_clusters_diff(
     tris: Array,
@@ -1279,14 +1423,21 @@ def cast_clusters_diff(
         fid_f = finr[:, 5]
         hit = (sidx >= 0) & (fid_f >= 0.0)
         prim = jnp.where(hit, fid_f.astype(jnp.int32), -1)
-        # Backward: XLA's scatter-add of the (R, 4) plane cotangents. On
-        # the REAL index distribution (raster-order rays x identity-order
-        # faces -> nearly sorted winner ids) this measured 0.9 ms at 1080p/
-        # 400k faces — a work-list Pallas scatter kernel that reused the
-        # forward's cluster entries measured 36.5 ms on the same input, and
-        # the r3 scatter_probe's 170 ms figure holds only for RANDOM
-        # indices. The structural fix is index coherence, not a kernel.
-        pr = _planes_select(planes, prim, finr[:, :4])  # no gather
+        if identity and T > cap:
+            # streaming tier + identity order: the backward scatter runs
+            # the work-list kernel (cluster-space rows -> face space by
+            # reshape). Measured in the real flagship grad program: the
+            # kernel path's backward costs ~50 ms of epilogue fwd+bwd vs
+            # ~93 ms with XLA's scatter-add (~80 ms for the (2M,4) scatter
+            # in context; a microbenchmark that embeds prim/cotangents as
+            # constants constant-folds the scatter and reads 0.9 ms — do
+            # not trust it).
+            pr = _planes_select_ws(
+                float(max_dist), interpret, bvh.cluster_size, NCH, RCHUNK,
+                planes, prim, finr[:, :4], sidx, bvh.boxes, o_ng, d_ng,
+            )
+        else:
+            pr = _planes_select(planes, prim, finr[:, :4])  # no gather
     else:
         sidx = _mxu_sidx_nodiff(
             bvh, o_ng, d_ng, float(max_dist), interpret, False, False

@@ -549,11 +549,9 @@ class TestInKernelFinish:
 
 class TestDiffCastBackward:
     """Gradients of the differentiable cast must not depend on the kernel
-    tier: the streaming tier (HBM DMA + in-kernel fin) and the resident
-    tier must produce the same plane/soup gradients. (A work-list Pallas
-    scatter kernel for the backward was built and measured in round 4:
-    36.5 ms vs XLA's 0.9 ms scatter-add on the real nearly-sorted winner
-    distribution at 1080p/400k faces — XLA wins, so the scatter stays.)"""
+    tier: the streaming tier (work-list scatter kernel backward) and the
+    resident tier (XLA scatter-add backward) must produce the same
+    plane/soup gradients."""
 
     def test_grad_parity_stream_vs_resident(self):
         from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_diff

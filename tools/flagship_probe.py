@@ -9,6 +9,8 @@ Usage: python tools/flagship_probe.py <stage> [out.json]
             writes the FLAGSHIP artifact when an out.json path is given
   split   - per-sub-stage timing (MC / bvh build / prep / kernel /
             forward / backward) + kernel visit statistics
+  sharded - the sharded composition (parallel/pipeline.py) on the local
+            device mesh (x1 on this tunnel: fixed-overhead measurement)
   all     - counts + cast + step
 """
 import json
@@ -165,6 +167,48 @@ def stage_step(d):
     assert np.isfinite(gn) and gn > 0
     return {"step_ms": round(dt * 1e3, 1), "loss": float(loss),
             "grad_norm": gn, "rays_per_s": round(R / dt)}
+
+
+def stage_sharded(d):
+    """The round-4 sharded composition (parallel/pipeline.py) run on the
+    local device mesh — on one chip this measures the sharded program's
+    fixed overhead vs stage_step's plain composition (the scaling
+    denominator); on a pod slice it measures real scaling."""
+    import jax
+    from jax.sharding import Mesh
+
+    from primitive3d_tpu.parallel.pipeline import sharded_sdf_fitting_loss
+    from primitive3d_tpu.render.camera import camera_rays
+
+    nv, nf, vu, cu, na = tight_units(d)
+    cam = camera_rays(1088, 1920, (0.0, 0.0, 2.5), (0.0, 0.0, 0.0))
+    o, dirs = jnp.asarray(cam.origins), jnp.asarray(cam.dirs)
+    R = o.shape[0]
+    target = jnp.full((R,), 1.7, jnp.float32)
+    nd = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+
+    lossf = jax.jit(jax.value_and_grad(
+        lambda dd: sharded_sdf_fitting_loss(
+            mesh, dd, o, dirs, target, thresh=0.0,
+            vert_capacity=VC, face_capacity=FC,
+            vert_units=vu // nd if nd > 1 else vu,
+            cube_units=cu // nd if nd > 1 else cu,
+            lower=(-1, -1, -1), upper=(1, 1, 1), max_dist=10.0,
+        )
+    ))
+    t0 = time.perf_counter()
+    loss, g = lossf(d)
+    np.asarray(loss)
+    log("compile+run1:", time.perf_counter() - t0, "s")
+    dt = slope_time(lambda: lossf(d)[0], 3)
+    gn = float(jnp.linalg.norm(g))
+    print(f"sharded step x{nd}: {dt*1e3:.1f} ms, loss={float(loss):.4f}, "
+          f"|g|={gn:.4g}, rays/s={R/dt/1e6:.1f}M")
+    assert np.isfinite(gn) and gn > 0
+    return {"devices": nd, "step_ms": round(dt * 1e3, 1),
+            "loss": float(loss), "grad_norm": gn,
+            "rays_per_s": round(R / dt)}
 
 
 def stage_split(d):
@@ -328,7 +372,9 @@ def main():
         report["step"] = stage_step(d)
     if stage == "split":
         report["split"] = stage_split(d)
-    if stage not in ("counts", "cast", "step", "split", "all"):
+    if stage == "sharded":
+        report["sharded"] = stage_sharded(d)
+    if stage not in ("counts", "cast", "step", "split", "sharded", "all"):
         raise SystemExit(f"unknown stage {stage}")
     if out:
         with open(out, "w") as fh:
