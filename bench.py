@@ -163,13 +163,18 @@ def main():
             T = soup.shape[0]
             if T > 1_800_000:
                 break
-            cbs = jax.block_until_ready(build_mxu_clusters(jnp.asarray(soup)))
+            # PallasRayCaster's auto rule: fat clusters past 500k tris
+            # amortize the stream tier's per-entry fixed costs (measured
+            # 17.6 -> 22.6 Mrays/s at 1.7M tris; tools/stream_sweep.py)
+            S_ = 128 if T <= 500_000 else 256
+            cbs = jax.block_until_ready(
+                build_mxu_clusters(jnp.asarray(soup), cluster_size=S_))
             sec = amortized(
                 lambda z, cbs_, o_, d_: cast_clusters_mxu(
                     cbs_, o_ + z, d_, stream=True)[0][0],
                 10, cbs, oj, dj,
             )
-            log(f"raycast[stream] bunny-x{4**level} ({T} tris): "
+            log(f"raycast[stream] bunny-x{4**level} ({T} tris, S={S_}): "
                 f"{sec*1e3:.2f} ms = {H*W/sec/1e6:.2f} Mrays/s")
     except Exception as e:  # noqa: BLE001
         log(f"stream tier section failed: {e}")

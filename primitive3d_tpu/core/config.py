@@ -24,11 +24,16 @@ class RayCastConfig:
     # MXU cast elsewhere (raycast.create_raycaster)
     backend: str = "auto"  # auto | pallas | mxu | bvh | bruteforce
     max_dist: float = 10.0  # reference MAX_DIST parity (bvh.cu:13)
-    cluster_size: int = 128  # pallas cluster width (one VPU lane row)
+    cluster_size: Optional[int] = None  # pallas cluster width; None = auto
+    # (128 -> one VPU lane row; meshes past ~500k tris auto-pick 256:
+    # fatter clusters amortize the stream tier's per-entry fixed costs,
+    # measured +28% at 1.7M tris)
     mxu_chunk: int = 512  # triangles per MXU tile (all-pairs backend)
     # mesh-size tiers of the pallas backend (see PallasRayCaster)
     mxu_max_tris: int = 32_000  # VMEM-resident Plücker tensor
-    mxu_stream_max_tris: int = 2_000_000  # HBM-streamed tier
+    mxu_stream_max_tris: Optional[int] = None  # HBM-streamed tier;
+    # None = 32767 * cluster_size (the work-word id limit): 4.2M tris
+    # at S=128, 8.4M at S=256 (384 B/tri of HBM either way)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1386,8 +1386,8 @@ def cast_clusters_diff(
     # same size tiers as PallasRayCaster, keyed on the actual triangle count
     cap = (PallasRayCaster.MXU_MAX_TRIS if mxu_max_tris is None
            else mxu_max_tris)
-    scap = (PallasRayCaster.MXU_STREAM_MAX_TRIS if mxu_stream_max_tris is None
-            else mxu_stream_max_tris)
+    scap = (32767 * CLUSTER_SIZE if mxu_stream_max_tris is None
+            else mxu_stream_max_tris)  # stream work-word id limit
     T = tris.shape[0]
     use_mxu = bvh is not None or T <= scap
     tris_ng = jax.lax.stop_gradient(tris)

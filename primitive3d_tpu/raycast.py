@@ -248,22 +248,31 @@ class PallasRayCaster(RayCaster):
     """
 
     MXU_MAX_TRIS = 32_000  # VMEM-resident w2 tensor (384 B/triangle)
-    # HBM-streamed w2; the cluster-word work list costs one SMEM word per
-    # cluster (T/128), measured fine past 100 KB, and w2 is 384 B/triangle
-    # in HBM — 2M tris = 16k words + 768 MB
+    # HBM-streamed w2: the stream work word carries a 15-bit cluster id, so
+    # the tier reaches 32767 * cluster_size triangles (384 B/triangle of
+    # HBM — 3.2 GB at the S=256 maximum); past that the scalar-broadcast
+    # kernel takes over. Kept as a class attr for back-compat: None in the
+    # constructor now means "derive from the cluster size".
     MXU_STREAM_MAX_TRIS = 2_000_000
+    AUTO_FAT_CLUSTER_TRIS = 500_000  # auto cluster_size boundary
 
     def __init__(self, vertices, faces, max_dist=DEFAULT_MAX_DIST,
                  mxu_max_tris=None, mxu_stream_max_tris=None,
                  cluster_size=None):
         super().__init__(vertices, faces, max_dist)
-        from .bvh.clusters import (CLUSTER_SIZE, build_clusters,
-                                   build_mxu_clusters)
+        from .bvh.clusters import CLUSTER_SIZE, build_clusters, build_mxu_clusters
 
         cap = self.MXU_MAX_TRIS if mxu_max_tris is None else mxu_max_tris
-        scap = (self.MXU_STREAM_MAX_TRIS if mxu_stream_max_tris is None
+        if cluster_size is None:
+            # fatter clusters amortize the stream tier's per-entry fixed
+            # costs on large meshes: measured 17.6 -> 22.6 Mrays/s at 1.7M
+            # tris (tools/stream_sweep.py, r4); 128 stays best below ~500k
+            cs = (CLUSTER_SIZE if self.num_triangles
+                  <= self.AUTO_FAT_CLUSTER_TRIS else 2 * CLUSTER_SIZE)
+        else:
+            cs = cluster_size
+        scap = (32767 * cs if mxu_stream_max_tris is None
                 else mxu_stream_max_tris)
-        cs = CLUSTER_SIZE if cluster_size is None else cluster_size
         self.use_mxu = self.num_triangles <= scap
         self.mxu_stream = self.num_triangles > cap
         build = build_mxu_clusters if self.use_mxu else build_clusters
