@@ -36,8 +36,8 @@ from jax import shard_map
 
 from ..ops import mc_tables as T
 from ..ops.marching_cubes import (_PACKED_TRI_FLAT, _default_unit_capacity,
-                                  _excl_cumsum_flat, _masked_compact_cols,
-                                  _ntris_vec, _twolevel_src)
+                                  _excl_cumsum_flat, _ntris_vec,
+                                  _twolevel_src)
 
 Array = jax.Array
 
@@ -188,27 +188,6 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
 
         gx0 = (s * Xs).astype(jnp.float32)
 
-        def interp(d0, d1):
-            den = d1 - d0
-            den = jnp.where(den == 0, 1.0, den)
-            return jnp.clip((thresh - d0) / den, 0.0, 1.0)
-
-        def positions(axis, dt, shape):
-            fx = jax.lax.broadcasted_iota(jnp.float32, shape, 0) + gx0
-            fy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
-            fz = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
-            coords = [fx, fy, fz]
-            coords[axis] = coords[axis] + dt
-            return coords
-
-        # Owned vertices in local-id order: per row, the y-block then z-block
-        # then x-block (matching the global numbering). Concatenate along the
-        # within-row axis, flatten, and gather-compact (no scatters; see
-        # ops/marching_cubes._masked_compact).
-        py = positions(1, interp(g[:Xs, :-1, :], g[:Xs, 1:, :]), (Xs, Y - 1, Z))
-        pz = positions(2, interp(g[:Xs, :, :-1], g[:Xs, :, 1:]), (Xs, Y, Z - 1))
-        px = positions(0, interp(g[:-1], g[1:]), (Xs, Y, Z))
-
         def rowcat(ay, az, ax):
             return jnp.concatenate(
                 [
@@ -219,17 +198,49 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
                 axis=1,
             ).reshape(-1)
 
+        # Owned vertices in local-id order: per row, the y-block then
+        # z-block then x-block (matching the global numbering). Select the
+        # first vert_cap crossing-edge indices (two-level unit compaction,
+        # no scatters), DECODE each flat row-major edge index back to its
+        # two grid endpoints, and gather just those 2*cap density values —
+        # materializing the three grid-scale position arrays instead (the
+        # r1-r3 formulation) costs 3 x E x f32 (plus AD copies), and XLA's
+        # layout pass liked to write them as a (E, 3) fusion whose TPU
+        # minor-dim padding (3 -> 128) exploded 600 MB into 25 GB at
+        # 256^3 x 1 shard. Gradients flow through the d0/d1 gathers (their
+        # transpose is a 2*cap scatter) and the halo ppermute as before.
         mask_flat = rowcat(cy[:Xs], cz[:Xs], cx).astype(jnp.int32)
-        local_ids = _excl_cumsum_flat(mask_flat)
-        vals = jnp.stack(
-            [rowcat(py[j], pz[j], px[j]) for j in range(3)]
-        )  # (3, E_local)
         vu = vert_units or _default_unit_capacity(
             vert_cap_per_shard, mask_flat.shape[0]
         )
-        verts = _masked_compact_cols(
-            vals, mask_flat, local_ids, vert_cap_per_shard, vu
-        ).T
+        src, _ = _twolevel_src(mask_flat, vert_cap_per_shard, vu)
+        rowlen = (Y - 1) * Z + Y * (Z - 1) + Y * Z
+        nyr = (Y - 1) * Z
+        nzr = Y * (Z - 1)
+        i = src // rowlen
+        r = src % rowlen
+        is_y = r < nyr
+        is_z = jnp.logical_not(is_y) & (r < nyr + nzr)
+        is_x = r >= nyr + nzr
+        rz = r - nyr
+        rx = r - nyr - nzr
+        j = jnp.where(is_y, r // Z, jnp.where(is_z, rz // (Z - 1), rx // Z))
+        k = jnp.where(is_y, r % Z, jnp.where(is_z, rz % (Z - 1), rx % Z))
+        gf = g.reshape(-1)
+        base = (i * Y + j) * Z + k
+        off = jnp.where(is_y, Z, jnp.where(is_z, 1, Y * Z))
+        d0 = gf[base]
+        d1 = gf[base + off]  # x-edges read the halo row at i == Xs - 1
+        den = d1 - d0
+        dt = jnp.clip(
+            (thresh - d0) / jnp.where(den == 0, 1.0, den), 0.0, 1.0)
+        fxc = i.astype(jnp.float32) + gx0 + jnp.where(is_x, dt, 0.0)
+        fyc = j.astype(jnp.float32) + jnp.where(is_y, dt, 0.0)
+        fzc = k.astype(jnp.float32) + jnp.where(is_z, dt, 0.0)
+        valid_v = (jnp.arange(vert_cap_per_shard, dtype=jnp.int32)
+                   < jnp.sum(mask_flat, dtype=jnp.int32))
+        verts = jnp.where(
+            valid_v[:, None], jnp.stack([fxc, fyc, fzc], axis=-1), 0.0)
 
         # --- faces -----------------------------------------------------------
         # cube rows 0..Xs-1 (global rows s*Xs .. s*Xs+Xs-1; cubes exist for

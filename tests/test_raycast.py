@@ -578,3 +578,21 @@ class TestDiffCastBackward:
         np.testing.assert_allclose(
             np.asarray(g_ws), np.asarray(g_ref), rtol=1e-4, atol=2e-5)
         assert float(jnp.sum(jnp.abs(g_ws))) > 0
+
+
+class TestAutoClusterSize:
+    def test_small_mesh_keeps_128(self):
+        from primitive3d_tpu.raycast import PallasRayCaster
+
+        v, f = icosphere(1)
+        rc = PallasRayCaster(v, f)
+        assert rc.cbvh.cluster_size == 128
+        # stream cap derives from the work-word id limit
+        assert rc.use_mxu and not rc.mxu_stream
+
+    def test_explicit_cluster_size_wins(self):
+        from primitive3d_tpu.raycast import PallasRayCaster
+
+        v, f = icosphere(2)
+        rc = PallasRayCaster(v, f, cluster_size=256)
+        assert rc.cbvh.cluster_size == 256
