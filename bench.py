@@ -321,15 +321,32 @@ def main():
         assert not bool(r0.overflowed)
         log(f"MT 128^3 counts: {nv2} verts, {nf2} faces")
 
-        def mt2(z, pts_, tets_, sdf_):
+        # dispatch-slope timing (NOT the fori_loop amortizer): looping the
+        # 12M-tet program K deep inside one jit doubles its HBM high-water
+        # mark past 16 GB and crashes the worker; per-call time here is
+        # ~50 ms so the ~0.3 ms per-dispatch overhead the slope keeps is
+        # noise
+        @jax.jit
+        def mt2(z):
             r = marching_tetrahedra_padded(
-                pts_ + z, tets_, sdf_,
+                pts2 + z, tets2, sdf2j,
                 vert_capacity=1 << 17, face_capacity=1 << 18,
             )
             return (jnp.sum(r.vertices)
                     + jnp.sum(r.faces).astype(jnp.float32))
 
-        sec = amortized(mt2, 5, pts2, tets2, sdf2j)
+        def mt2_total(k):
+            best = 1e30
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    out = mt2(jnp.float32(0))
+                float(out)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        float(mt2(jnp.float32(0)))  # warm
+        sec = max((mt2_total(8) - mt2_total(4)) / 4, 1e-9)
         log(f"MT 128^3 lattice ({tets2_np.shape[0]} tets): "
             f"{sec*1e3:.2f} ms = {tets2_np.shape[0]/sec/1e6:.2f} Mtet/s")
     except Exception as e:  # noqa: BLE001

@@ -91,20 +91,35 @@ class MTResult(NamedTuple):
         )
 
 
-def _oriented_tets(vertices: Array, tets: Array) -> Array:
-    """Flip tets with negative signed volume (reference :50-65), functionally.
+def _oriented_tets(vertices: Array, tets: Array):
+    """Corner columns of ``tets`` with negative-signed-volume tets flipped
+    (reference :50-65), functionally and in T-major layout.
 
     The signed volume is the triple product det([b-a, c-a, d-a]) — same sign
-    as the reference's 4x4 homogeneous determinant (reference :56-62), but a
-    handful of vector ops instead of a batched LU factorisation.
+    as the reference's 4x4 homogeneous determinant (reference :56-62).
+    Returns four (T,) corner-id arrays rather than a (T, 4) array: on TPU a
+    (T, 4) intermediate is tiled (8, 128), padding the 4-wide minor dim to
+    128 — a 32x memory inflation that OOMs at the 12M-tet config-2 scale.
+    Everything here is 1-D gathers + elementwise ops.
     """
-    p = jax.lax.stop_gradient(vertices)[tets]  # (T, 4, 3)
-    e1 = p[:, 1] - p[:, 0]
-    e2 = p[:, 2] - p[:, 0]
-    e3 = p[:, 3] - p[:, 0]
-    dets = jnp.sum(jnp.cross(e1, e2) * e3, axis=-1)
-    flipped = tets[:, jnp.asarray([1, 0, 2, 3])]
-    return jnp.where((dets < 0)[:, None], flipped, tets)
+    vg = jax.lax.stop_gradient(vertices)
+    x, y, z = vg[:, 0], vg[:, 1], vg[:, 2]
+    t0, t1, t2, t3 = (tets[:, c] for c in range(4))
+
+    def e(tc):
+        return x[tc] - x[t0], y[tc] - y[t0], z[tc] - z[t0]
+
+    e1x, e1y, e1z = e(t1)
+    e2x, e2y, e2z = e(t2)
+    e3x, e3y, e3z = e(t3)
+    dets = ((e1y * e2z - e1z * e2y) * e3x
+            + (e1z * e2x - e1x * e2z) * e3y
+            + (e1x * e2y - e1y * e2x) * e3z)
+    neg = dets < 0
+    # flip corners 0 and 1 (reference convention)
+    c0 = jnp.where(neg, t1, t0)
+    c1 = jnp.where(neg, t0, t1)
+    return c0, c1, t2, t3
 
 
 @functools.partial(jax.jit, static_argnames=("vert_capacity", "face_capacity"))
@@ -115,23 +130,33 @@ def _mt_padded_impl(
     vert_capacity: int,
     face_capacity: int,
 ) -> MTResult:
+    """Static-shape marching tetrahedra core.
+
+    Layout discipline (the 12M-tet lesson): every per-tet / per-edge
+    intermediate is a 1-D (T,)/(E,) array or a small-major (k, T) stack —
+    never (T, k) with k tiny, whose TPU (8, 128) tiling pads the minor dim
+    to 128 (32x memory). The flat edge space is EDGE-MAJOR (e * T + t) so
+    per-edge columns never materialize a (T, 6) array.
+    """
     N = vertices.shape[0]
     T = tets.shape[0]
     E = 6 * T
 
-    tets = _oriented_tets(vertices, tets)
+    corners = _oriented_tets(vertices, tets)  # four (T,) arrays
 
     occ = sdf > 0  # (N,)
-    occ4 = occ[tets]  # (T, 4)
-    occ_sum = jnp.sum(occ4, axis=-1)
+    occ_c = [occ[c] for c in corners]  # four (T,) bools
+    occ_sum = sum(o.astype(jnp.int32) for o in occ_c)
     valid_tet = (occ_sum > 0) & (occ_sum < 4)  # (T,)
 
     # --- edge list: (min, max) vertex pairs; invalid tets -> (N, N) sentinel
-    ev = tets[:, _TET_EDGES]  # (T, 6, 2)
-    ea = jnp.minimum(ev[..., 0], ev[..., 1])
-    eb = jnp.maximum(ev[..., 0], ev[..., 1])
-    ea = jnp.where(valid_tet[:, None], ea, N).reshape(E)
-    eb = jnp.where(valid_tet[:, None], eb, N).reshape(E)
+    # edge-major stacks (6, T) -> flat (E,) with index e * T + t
+    ea6 = jnp.stack(
+        [jnp.minimum(corners[a], corners[b]) for a, b in TET_EDGES], axis=0)
+    eb6 = jnp.stack(
+        [jnp.maximum(corners[a], corners[b]) for a, b in TET_EDGES], axis=0)
+    ea = jnp.where(valid_tet[None, :], ea6, N).reshape(E)
+    eb = jnp.where(valid_tet[None, :], eb6, N).reshape(E)
 
     # --- dedup via lexicographic sort + run-length heads (torch.unique analog)
     orig_idx = jnp.arange(E, dtype=jnp.int32)
@@ -162,10 +187,9 @@ def _mt_padded_impl(
     head_vid = jnp.where(is_new_vertex, vslot, -1)
     vid_sorted = head_vid[jnp.clip(head_pos, 0, E - 1)]
 
-    # back to original (tet, local-edge) layout: invert the permutation with
-    # a second sort (parallel-friendly) instead of a scatter
-    _, edge_vid_flat = jax.lax.sort((sidx, vid_sorted), num_keys=1)
-    edge_vid = edge_vid_flat.reshape(T, 6)
+    # back to original edge-major layout: invert the permutation with a
+    # second sort (parallel-friendly) instead of a scatter
+    _, edge_vid_flat = jax.lax.sort((sidx, vid_sorted), num_keys=1)  # (E,)
 
     # --- vertex positions: sdf-weighted lerp on unique crossing edges --------
     a_idx = jnp.minimum(sa, N - 1)
@@ -176,15 +200,18 @@ def _mt_padded_impl(
     denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
     w_a = -s_b / denom
     w_b = s_a / denom
-    pos = vertices[a_idx] * w_a[:, None] + vertices[b_idx] * w_b[:, None]
+    # component-major (3, E): vertices[a_idx] as an (E, 3) value would tile
+    # to (E, 128)
+    pos_c = jnp.stack(
+        [vertices[:, c][a_idx] * w_a + vertices[:, c][b_idx] * w_b
+         for c in range(3)], axis=0)
 
     vmask = is_new_vertex.astype(jnp.int32)
-    verts = _masked_compact_cols(pos.T, vmask, vslot, vert_capacity).T
+    verts = _masked_compact_cols(pos_c, vmask, vslot, vert_capacity).T
 
     # --- faces ---------------------------------------------------------------
-    table_idx = jnp.sum(
-        occ4.astype(jnp.int32) * jnp.asarray([1, 2, 4, 8], jnp.int32), axis=-1
-    )  # (T,)
+    table_idx = (occ_c[0].astype(jnp.int32) + 2 * occ_c[1]
+                 + 4 * occ_c[2] + 8 * occ_c[3])  # (T,)
     ntris = jnp.where(valid_tet, _NUM_TRIS[table_idx], 0)
     base = jnp.cumsum(ntris) - ntris
     num_faces = jnp.sum(ntris)
@@ -196,14 +223,12 @@ def _mt_padded_impl(
     tet_g = jnp.clip(jnp.searchsorted(incl, s_q, method="sort"), 0, T - 1)
     k = (s_q - 1) - base[tet_g]  # 0 or 1
     valid_f = s_q <= num_faces
-    tri_rows = _TRI_TABLE[table_idx[tet_g]]  # (Fc, 6)
-    ev_rows = edge_vid[tet_g]  # (Fc, 6)
+    tri_rows = _TRI_TABLE[table_idx[tet_g]]  # (Fc, 6) — Fc-major, small
     fcols = []
     for j in range(3):
         ejk = jnp.take_along_axis(tri_rows, (3 * k + j)[:, None], axis=1)[:, 0]
-        vid = jnp.take_along_axis(
-            ev_rows, jnp.maximum(ejk, 0)[:, None], axis=1
-        )[:, 0]
+        # edge-major flat lookup: vid of local edge e of tet t at e * T + t
+        vid = edge_vid_flat[jnp.maximum(ejk, 0) * T + tet_g]
         fcols.append(jnp.where(valid_f, vid, 0))
     faces = jnp.stack(fcols, axis=-1)
     tet_of_face = jnp.where(valid_f, tet_g, -1)
