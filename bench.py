@@ -327,9 +327,11 @@ def main():
         # ~50 ms so the ~0.3 ms per-dispatch overhead the slope keeps is
         # noise
         @jax.jit
-        def mt2(z):
+        def mt2(z, pts_, tets_, sdf_):
+            # operands, not closure constants: a 196 MB tets array embedded
+            # in the HLO blows the tunnel's remote-compile size limit
             r = marching_tetrahedra_padded(
-                pts2 + z, tets2, sdf2j,
+                pts_ + z, tets_, sdf_,
                 vert_capacity=1 << 17, face_capacity=1 << 18,
             )
             return (jnp.sum(r.vertices)
@@ -340,12 +342,12 @@ def main():
             for _ in range(2):
                 t0 = time.perf_counter()
                 for _ in range(k):
-                    out = mt2(jnp.float32(0))
+                    out = mt2(jnp.float32(0), pts2, tets2, sdf2j)
                 float(out)
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        float(mt2(jnp.float32(0)))  # warm
+        float(mt2(jnp.float32(0), pts2, tets2, sdf2j))  # warm
         sec = max((mt2_total(8) - mt2_total(4)) / 4, 1e-9)
         log(f"MT 128^3 lattice ({tets2_np.shape[0]} tets): "
             f"{sec*1e3:.2f} ms = {tets2_np.shape[0]/sec/1e6:.2f} Mtet/s")

@@ -8,6 +8,9 @@ data-parallel over all local devices, with npz checkpoint/resume.
 Usage: python examples/sdf_fitting.py [--steps N] [--resume]
        python examples/sdf_fitting.py --flagship [--steps N]
            (BASELINE.md config 5 scale: 256^3 grid, 1080p rays — run on TPU)
+       python examples/sdf_fitting.py --sharded [--steps N]
+           (the fully sharded composition — sharded MC extraction + ray-DP
+            cast via parallel/pipeline.py — over all local devices)
 """
 import argparse
 import os
@@ -58,10 +61,15 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--flagship", action="store_true",
                     help="256^3 grid, 1080p rays (BASELINE.md config 5)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="train through the fully sharded composition "
+                         "(parallel/pipeline.py) on all local devices")
     args = ap.parse_args()
 
     if args.flagship:
         return flagship(args)
+    if args.sharded:
+        return sharded(args)
 
     kw = dict(vert_capacity=VC, face_capacity=FC, max_dist=100.0, chunk=256)
     o, d = rays()
@@ -112,6 +120,48 @@ def main():
         if step % 5 == 0 or step == step0 + args.steps - 1:
             print(f"step {step:4d}  loss {float(loss):.6f}")
     np.savez(CKPT, density=np.asarray(density), step=step0 + args.steps)
+    print(f"checkpoint -> {CKPT}")
+
+
+def sharded(args):
+    """Train through parallel/pipeline.py: grid x-slab-sharded extraction,
+    gathered mesh, ray-data-parallel cast — the composition a pod slice
+    runs, exercised here on whatever devices are local."""
+    from jax.sharding import Mesh
+
+    from primitive3d_tpu.parallel.pipeline import sharded_sdf_fitting_loss
+
+    kw = dict(vert_capacity=VC, face_capacity=FC, max_dist=100.0)
+    o, d = rays()
+    target = np.asarray(
+        render_depth(jnp.asarray(target_scene()), o, d,
+                     vert_capacity=VC, face_capacity=FC, max_dist=100.0).depth
+    )
+    print(f"target: {np.mean(target < 100.0):.2f} hit fraction")
+    x, y, z = np.mgrid[:N, :N, :N].astype(np.float32)
+    density = jnp.asarray(
+        -((x - N / 2) ** 2 + (y - N / 2) ** 2 + (z - N / 2) ** 2
+          - (N / 2.5) ** 2) / N)
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+    print(f"sharded over {mesh.devices.size} device(s)")
+    opt = optax.adam(3e-2)
+    opt_state = opt.init(density)
+    oj, dj, tj = jnp.asarray(o), jnp.asarray(d), jnp.asarray(target)
+
+    @jax.jit
+    def train_step(density, opt_state):
+        loss, grad = jax.value_and_grad(
+            lambda g: sharded_sdf_fitting_loss(mesh, g, oj, dj, tj, **kw)
+        )(density)
+        updates, opt_state = opt.update(grad, opt_state)
+        return loss, optax.apply_updates(density, updates), opt_state
+
+    for step in range(args.steps):
+        loss, density, opt_state = train_step(density, opt_state)
+        if step % 5 == 0 or step == args.steps - 1:
+            print(f"step {step:4d}  loss {float(loss):.6f}")
+    np.savez(CKPT, density=np.asarray(density), step=args.steps)
     print(f"checkpoint -> {CKPT}")
 
 

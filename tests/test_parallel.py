@@ -245,3 +245,30 @@ class TestShardedRaycast:
         np.testing.assert_array_equal(
             np.asarray(out.face_id), np.asarray(ref.face_id)
         )
+
+
+class TestShardedPipelineEdges:
+    def test_x_not_divisible_by_mesh(self):
+        """Grid X that does not divide the device count is edge-padded."""
+        from primitive3d_tpu.parallel.pipeline import sharded_sdf_fitting_loss
+        from primitive3d_tpu.pipeline import sdf_fitting_loss
+
+        mesh = make_mesh(8, axis_name="data")
+        n = 20  # 20 % 8 != 0
+        x, y, z = np.mgrid[:n, :n, :n].astype(np.float32)
+        c, r = n / 2.0 + 0.29, n / 4.0
+        dens = jnp.asarray(
+            -((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2 - r**2) / n)
+        R = 64
+        o = jnp.asarray(np.tile([c, c, -2.0 * n], (R, 1)).astype(np.float32))
+        g = int(np.sqrt(R))
+        ys, xs = np.mgrid[0:g, 0:g]
+        d = np.stack([(xs.ravel() + 0.5) / g - 0.5,
+                      (ys.ravel() + 0.5) / g - 0.5,
+                      np.full(R, 2.2, np.float32)], -1).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+        t = jnp.full((R,), 30.0, jnp.float32)
+        kw = dict(vert_capacity=4096, face_capacity=8192, max_dist=100.0)
+        l1 = sdf_fitting_loss(dens, o, d, t, backend="pallas", **kw)
+        ls = sharded_sdf_fitting_loss(mesh, dens, o, d, t, **kw)
+        assert float(l1) == pytest.approx(float(ls), rel=1e-5)
