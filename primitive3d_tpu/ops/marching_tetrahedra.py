@@ -122,15 +122,140 @@ def _oriented_tets(vertices: Array, tets: Array):
     return c0, c1, t2, t3
 
 
-@functools.partial(jax.jit, static_argnames=("vert_capacity", "face_capacity"))
-def _mt_padded_impl(
+_DENSE_MAX_TETS = 500_000  # layout tier boundary (see _mt_padded_impl)
+
+
+def _mt_impl_dense(
     vertices: Array,
     tets: Array,
     sdf: Array,
     vert_capacity: int,
     face_capacity: int,
 ) -> MTResult:
-    """Static-shape marching tetrahedra core.
+    N = vertices.shape[0]
+    T = tets.shape[0]
+    E = 6 * T
+
+    c0, c1, c2_, c3 = _oriented_tets(vertices, tets)
+    tets = jnp.stack([c0, c1, c2_, c3], axis=-1)
+
+    occ = sdf > 0  # (N,)
+    occ4 = occ[tets]  # (T, 4)
+    occ_sum = jnp.sum(occ4, axis=-1)
+    valid_tet = (occ_sum > 0) & (occ_sum < 4)  # (T,)
+
+    # --- edge list: (min, max) vertex pairs; invalid tets -> (N, N) sentinel
+    ev = tets[:, _TET_EDGES]  # (T, 6, 2)
+    ea = jnp.minimum(ev[..., 0], ev[..., 1])
+    eb = jnp.maximum(ev[..., 0], ev[..., 1])
+    ea = jnp.where(valid_tet[:, None], ea, N).reshape(E)
+    eb = jnp.where(valid_tet[:, None], eb, N).reshape(E)
+
+    # --- dedup via lexicographic sort + run-length heads (torch.unique analog)
+    orig_idx = jnp.arange(E, dtype=jnp.int32)
+    sa, sb, sidx = jax.lax.sort((ea, eb, orig_idx), num_keys=2)
+    head = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1]),
+        ]
+    )
+    valid_e = sa < N  # sentinel pairs excluded
+
+    occ_ext = jnp.concatenate([occ, jnp.zeros((1,), bool)])
+    crossing = occ_ext[jnp.minimum(sa, N)] != occ_ext[jnp.minimum(sb, N)]
+    is_new_vertex = head & valid_e & crossing
+
+    # vertex slot for each unique crossing edge (exclusive scan over heads)
+    inv = is_new_vertex.astype(jnp.int32)
+    vslot = jnp.cumsum(inv) - inv  # (E,) valid at head positions
+    num_vertices = jnp.sum(inv)
+
+    # propagate the head's vertex id (or -1) to every duplicate in its group:
+    # an entry's group head is the first position sharing its inclusive head
+    # count — one binary search + gather (TPU scatters lower to serial loops,
+    # so scatter-based propagation is avoided throughout).
+    h_incl = jnp.cumsum(head.astype(jnp.int32))  # (E,) inclusive
+    head_pos = jnp.searchsorted(h_incl, h_incl, method="sort")
+    head_vid = jnp.where(is_new_vertex, vslot, -1)
+    vid_sorted = head_vid[jnp.clip(head_pos, 0, E - 1)]
+
+    # back to original (tet, local-edge) layout: invert the permutation with
+    # a second sort (parallel-friendly) instead of a scatter
+    _, edge_vid_flat = jax.lax.sort((sidx, vid_sorted), num_keys=1)
+    edge_vid = edge_vid_flat.reshape(T, 6)
+
+    # --- vertex positions: sdf-weighted lerp on unique crossing edges --------
+    a_idx = jnp.minimum(sa, N - 1)
+    b_idx = jnp.minimum(sb, N - 1)
+    s_a = sdf[a_idx]
+    s_b = sdf[b_idx]
+    denom = s_a - s_b
+    denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    w_a = -s_b / denom
+    w_b = s_a / denom
+    pos = vertices[a_idx] * w_a[:, None] + vertices[b_idx] * w_b[:, None]
+
+    vmask = is_new_vertex.astype(jnp.int32)
+    verts = _masked_compact_cols(pos.T, vmask, vslot, vert_capacity).T
+
+    # --- faces ---------------------------------------------------------------
+    table_idx = jnp.sum(
+        occ4.astype(jnp.int32) * jnp.asarray([1, 2, 4, 8], jnp.int32), axis=-1
+    )  # (T,)
+    ntris = jnp.where(valid_tet, _NUM_TRIS[table_idx], 0)
+    base = jnp.cumsum(ntris) - ntris
+    num_faces = jnp.sum(ntris)
+
+    # gather-based face emission (same pattern as marching cubes): face slot s
+    # -> owning tet by binary search over the triangle-count scan
+    incl = base + ntris
+    s_q = jnp.arange(1, face_capacity + 1, dtype=incl.dtype)
+    tet_g = jnp.clip(jnp.searchsorted(incl, s_q, method="sort"), 0, T - 1)
+    k = (s_q - 1) - base[tet_g]  # 0 or 1
+    valid_f = s_q <= num_faces
+    tri_rows = _TRI_TABLE[table_idx[tet_g]]  # (Fc, 6)
+    ev_rows = edge_vid[tet_g]  # (Fc, 6)
+    fcols = []
+    for j in range(3):
+        ejk = jnp.take_along_axis(tri_rows, (3 * k + j)[:, None], axis=1)[:, 0]
+        vid = jnp.take_along_axis(
+            ev_rows, jnp.maximum(ejk, 0)[:, None], axis=1
+        )[:, 0]
+        fcols.append(jnp.where(valid_f, vid, 0))
+    faces = jnp.stack(fcols, axis=-1)
+    tet_of_face = jnp.where(valid_f, tet_g, -1)
+
+    return MTResult(verts, faces, tet_of_face, num_vertices, num_faces)
+
+
+
+@functools.partial(jax.jit, static_argnames=("vert_capacity", "face_capacity"))
+def _mt_padded_impl(vertices, tets, sdf, vert_capacity, face_capacity):
+    """Static-shape marching tetrahedra core — two layout tiers.
+
+    Below _DENSE_MAX_TETS the r1-r3 dense formulation ((T, 4) corner
+    arrays, tet-major edge space) is fastest (6.7 ms at 12k tets; the
+    T-major form costs ~3 ms more in extra small gathers). Past it the
+    T-major + active-compaction form below is the only one that FITS:
+    dense (T, k) intermediates tile to (8, 128) on TPU, padding tiny
+    minor dims 32x (19-50 GB at 12M tets), and the full-edge-space
+    sorts cost 15.6 s against 833 ms compacted."""
+    if tets.shape[0] <= _DENSE_MAX_TETS:
+        return _mt_impl_dense(vertices, tets, sdf, vert_capacity,
+                              face_capacity)
+    return _mt_impl_tmajor(vertices, tets, sdf, vert_capacity,
+                           face_capacity)
+
+
+def _mt_impl_tmajor(
+    vertices: Array,
+    tets: Array,
+    sdf: Array,
+    vert_capacity: int,
+    face_capacity: int,
+) -> MTResult:
+    """T-major / active-compacted marching tetrahedra core.
 
     Two scale disciplines (the 12M-tet config-2 lessons):
 
@@ -150,7 +275,11 @@ def _mt_padded_impl(
     """
     N = vertices.shape[0]
     T = tets.shape[0]
-    A = face_capacity  # active-tet capacity: exact bound (>= 1 tri each)
+    # active-tet capacity: exact bound (each active tet emits >= 1
+    # triangle), clamped to T — when face_capacity >= T the compaction
+    # cannot shrink the edge space and is skipped entirely (it REGRESSED
+    # the 12k-tet case 2.2x before this clamp: 6*face_capacity > 6*T)
+    A = min(face_capacity, T)
     E = 6 * A
 
     # --- per-tet occupancy (1-D gathers only) -------------------------------
@@ -166,12 +295,20 @@ def _mt_padded_impl(
     num_faces = jnp.sum(ntris_full)
 
     # --- compact active tets (order-preserving two-level selection) ---------
-    amask = valid_tet.astype(jnp.int8)
-    asrc, _ = _twolevel_src(amask, A, A)  # (A,) ascending active tet ids
-    n_active = jnp.sum(amask, dtype=jnp.int32)
-    act_valid = jnp.arange(A, dtype=jnp.int32) < n_active  # (A,)
+    if A < T:
+        amask = valid_tet.astype(jnp.int8)
+        asrc, _ = _twolevel_src(amask, A, A)  # (A,) ascending active ids
+        n_active = jnp.sum(amask, dtype=jnp.int32)
+        act_valid = jnp.arange(A, dtype=jnp.int32) < n_active  # (A,)
+        tcols_a = [c[asrc] for c in tcols]
+    else:
+        # nothing to shrink: identity "compaction", invalid tets masked by
+        # the sentinel directly (the original formulation)
+        asrc = jnp.arange(T, dtype=jnp.int32)
+        act_valid = valid_tet
+        tcols_a = tcols
     corners = _oriented_tets(
-        vertices, jnp.stack([c[asrc] for c in tcols], axis=-1))  # 4 x (A,)
+        vertices, jnp.stack(tcols_a, axis=-1))  # 4 x (A,)
     occ_a = [occ[c] for c in corners]
 
     # --- edge list: (min, max) vertex pairs; invalid slots -> (N, N) --------

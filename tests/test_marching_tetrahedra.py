@@ -227,3 +227,31 @@ class TestVmap:
         np.testing.assert_allclose(
             np.asarray(res.vertices[1][:nv]), np.asarray(v0) * 1.1, atol=1e-4
         )
+
+
+class TestLayoutTiers:
+    def test_dense_and_tmajor_agree(self):
+        """The small-T dense tier and the large-T T-major/active-compacted
+        tier must produce identical meshes (same vertex ORDER too — both
+        number vertices by the lexicographic unique-edge order)."""
+        from primitive3d_tpu.ops.marching_tetrahedra import (
+            _mt_impl_dense, _mt_impl_tmajor, grid_tetrahedra)
+
+        n = 12
+        pts, tets = grid_tetrahedra(n)
+        c = (n - 1) / 2.0
+        sdf = ((n / 4.0)
+               - np.linalg.norm(pts - c, axis=1)).astype(np.float32)
+        args = (jnp.asarray(pts), jnp.asarray(tets), jnp.asarray(sdf),
+                2048, 4096)
+        rd = _mt_impl_dense(*args)
+        rt = _mt_impl_tmajor(*args)
+        assert int(rd.num_vertices) == int(rt.num_vertices) > 100
+        assert int(rd.num_faces) == int(rt.num_faces)
+        np.testing.assert_allclose(
+            np.asarray(rd.vertices), np.asarray(rt.vertices),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(rd.faces), np.asarray(rt.faces))
+        np.testing.assert_array_equal(
+            np.asarray(rd.tet_idx), np.asarray(rt.tet_idx))
