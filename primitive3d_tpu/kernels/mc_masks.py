@@ -23,18 +23,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-XB = 8  # grid rows per program
+XB = 8  # grid rows per program (shrunk for big Y*Z; see fused_masks)
 
 
 def _kernel(th_ref, dens_hbm, cx_ref, cy_ref, cz_ref, cm_ref, slab_ref,
-            sem, *, Y, Z):
+            sem, *, Y, Z, xb):
     pid = pl.program_id(0)
     cp = pltpu.make_async_copy(
-        dens_hbm.at[pl.ds(pid * XB, XB + 1)], slab_ref, sem
+        dens_hbm.at[pl.ds(pid * xb, xb + 1)], slab_ref, sem
     )
     cp.start()
     cp.wait()
-    occ = (slab_ref[:] > th_ref[0]).astype(jnp.int32)  # (XB+1, Y, Z)
+    occ = (slab_ref[:] > th_ref[0]).astype(jnp.int32)  # (xb+1, Y, Z)
 
     # Two Mosaic lowering rules shape this kernel: (1) vector arithmetic only
     # exists for i16/i32 — all mask math runs in i32 and truncates to
@@ -49,7 +49,7 @@ def _kernel(th_ref, dens_hbm, cx_ref, cy_ref, cz_ref, cm_ref, slab_ref,
     def sz(a):  # shift -1 in z, replicating the last col
         return jnp.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=2)
 
-    o00 = occ[:XB]
+    o00 = occ[:xb]
     o10 = occ[1:]
     cx_ref[:] = (o00 ^ o10).astype(jnp.int8)
     cy_ref[:] = (o00 ^ sy(o00)).astype(jnp.int8)
@@ -79,8 +79,15 @@ def fused_masks(
     ``cube_mask[:X-1, :Y-1, :Z-1]`` are the valid views.
     """
     X, Y, Z = density.shape
-    G = -(-X // XB)
-    padx = G * XB + 1 - X
+    # rows per program scale inversely with the slice area so the kernel's
+    # scoped VMEM (f32 slab + 4 mask blocks + i32 intermediates) stays
+    # bounded: XB = 8 up to 256^2 slices; a 512^3 grid (4x the slice) gets
+    # XB = 2 — the fixed XB = 8 blew the 16 MB scoped-vmem limit there
+    Yp_ = -(-Y // 32) * 32
+    Zp_ = -(-Z // 128) * 128
+    xb = max(1, min(XB, (XB * 256 * 256) // max(Yp_ * Zp_, 1)))
+    G = -(-X // xb)
+    padx = G * xb + 1 - X
     # Mosaic needs the (sublane, lane) dims of the int8 vectors tile-aligned
     # (a 66^3 grid lowers to vector<8x65x65xi8> adds, which fail); pad Y/Z by
     # edge replication -> zero crossings in the pads, sliced off below.
@@ -95,13 +102,13 @@ def fused_masks(
     )
     Y, Z = Yp, Zp
 
-    out_spec = pl.BlockSpec((XB, Y, Z), lambda i, *_: (i, 0, 0),
+    out_spec = pl.BlockSpec((xb, Y, Z), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     shapes = [
-        jax.ShapeDtypeStruct((G * XB, Y, Z), jnp.int8),
-        jax.ShapeDtypeStruct((G * XB, Y, Z), jnp.int8),
-        jax.ShapeDtypeStruct((G * XB, Y, Z), jnp.int8),
-        jax.ShapeDtypeStruct((G * XB, Y, Z), jnp.uint8),
+        jax.ShapeDtypeStruct((G * xb, Y, Z), jnp.int8),
+        jax.ShapeDtypeStruct((G * xb, Y, Z), jnp.int8),
+        jax.ShapeDtypeStruct((G * xb, Y, Z), jnp.int8),
+        jax.ShapeDtypeStruct((G * xb, Y, Z), jnp.uint8),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # thresh -> SMEM
@@ -109,12 +116,12 @@ def fused_masks(
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[out_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((XB + 1, Y, Z), jnp.float32),
+            pltpu.VMEM((xb + 1, Y, Z), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     cx, cy, cz, cm = pl.pallas_call(
-        functools.partial(_kernel, Y=Y, Z=Z),
+        functools.partial(_kernel, Y=Y, Z=Z, xb=xb),
         grid_spec=grid_spec,
         out_shape=shapes,
         interpret=interpret,
