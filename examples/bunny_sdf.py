@@ -8,7 +8,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import primitive3d_tpu as p3d  # noqa: E402
 
-DATA = "/root/reference/examples/data/bunny.npy"
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                    "bunny.npy")
 
 if __name__ == "__main__":
     grid = np.load(DATA)

@@ -17,7 +17,8 @@ import primitive3d_tpu as p3d  # noqa: E402
 from primitive3d_tpu.raycast import create_raycaster  # noqa: E402
 from primitive3d_tpu.render.camera import camera_rays  # noqa: E402
 
-DATA = "/root/reference/examples/data/bunny.npy"
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                    "bunny.npy")
 
 if __name__ == "__main__":
     grid = np.load(DATA)

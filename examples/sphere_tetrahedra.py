@@ -9,7 +9,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import primitive3d_tpu as p3d  # noqa: E402
 
-DATA = "/root/reference/examples/data/tetrahedra"
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                    "tetrahedra")
 
 if __name__ == "__main__":
     points = np.load(os.path.join(DATA, "points.npy"))

@@ -20,7 +20,8 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 def main():
     os.makedirs(OUT, exist_ok=True)
-    bunny = np.load("/root/reference/examples/data/bunny.npy")
+    bunny = np.load(os.path.join(
+        os.path.dirname(__file__), "..", "examples", "data", "bunny.npy"))
     v, f = marching_cubes_numpy(bunny, 0.0)
     np.savez_compressed(os.path.join(OUT, "bunny_mc.npz"), v=v, f=f)
     print(f"bunny_mc: {v.shape[0]} verts, {f.shape[0]} faces")
