@@ -149,56 +149,74 @@ def _pack_units(m2: Array) -> Array:
 
 def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
                   m2=None, ucnt=None):
-    """Stable two-level selection: indices of the first ``capacity`` set bits.
+    """Stable selection: indices of the first ``capacity`` set bits — EXACT.
 
     A single stable sort over tens of millions of mask elements dominates MC
-    runtime at 256^3+. MC masks are ~1-2% dense and spatially coherent, so:
-    (1) sort only the per-128-element-unit occupancy bits (E/128 elements),
-    (2) gather the first ``unit_capacity`` occupied units, (3) sort inside
-    that much smaller subset. Both sorts are stable and units are selected
-    in ascending order, so global order is preserved. The gathered units
-    travel BIT-PACKED (4 int32 words per 128-element unit, ~9 ns/element
-    gather cost makes the packed form 32x cheaper to move); sub-unit
-    occupancy is byte tests on the packed words.
+    runtime at 256^3+ (rounds 1-3 replaced it with a three-sort two-level
+    unit scheme; round 5 replaces the sorts with rank DECODING). The mask is
+    viewed as 128-element units whose per-unit counts are already known:
 
-    Returns ``(src, unit_overflow)``. When more units are occupied than
-    ``unit_capacity`` the tail of the selection is dropped — callers must
-    surface ``unit_overflow`` (MCResult.overflowed does).
+      (1) one exclusive scan over the U = E/128 per-unit counts gives each
+          unit's starting output slot;
+      (2) each output slot q finds its unit with ONE merge-sort
+          ``searchsorted`` over (capacity + U) elements — the only
+          sort-shaped work left, ~10x smaller than the old scheme's
+          sub-unit sorts;
+      (3) the within-unit rank r = q - excl[unit] decodes to a bit position
+          by popcount-prefix over the unit's 4 bit-packed words (word ->
+          byte -> bit, all static vector ops).
+
+    Unlike the old unit-budget scheme this never truncates: selection is
+    exact for any occupancy, so ``unit_overflow`` is constant False (kept in
+    the signature for callers; ``unit_capacity`` is accepted and ignored).
     """
+    del unit_capacity  # the decode is exact; no unit budget exists any more
     if m2 is None:
         m2, ucnt = _unit_view(mask)
     U = m2.shape[0]
-    uany = (ucnt > 0).astype(jnp.int32)
-    usel = _mask_sort_idx(uany)
-    Ku = min(U, unit_capacity)
-    usel = usel[:Ku]
-    unit_overflow = jnp.sum(uany, dtype=jnp.int32) > Ku
-    psub = _pack_units(m2)[usel]  # (Ku, 4) int32
-
-    # Third level: compact 8-element sub-units inside the gathered subset.
-    # Unlike level 1's heuristic budget, this one is EXACT: the first
-    # `capacity` selected elements span at most `capacity` occupied
-    # sub-units (each holds >= 1), so truncation can never drop them. The
-    # final element sort shrinks from unit_capacity*128 to ~capacity*8.
-    SU = 8
-    U8 = Ku * _UNIT // SU
-    bsh = jnp.arange(0, 32, 8, dtype=jnp.int32)[None, None, :]
-    u8bytes = ((psub[:, :, None] >> bsh) & 0xFF).reshape(U8)  # sub-unit bytes
-    u8any = (u8bytes > 0).astype(jnp.int32)
-    K8 = min(U8, capacity)
-    u8sel = _mask_sort_idx(u8any)[:K8]
-    bits = (u8bytes[u8sel][:, None]
-            >> jnp.arange(SU, dtype=jnp.int32)[None, :]) & 1
-    m8sub = bits.reshape(K8 * SU)
-    ss8 = _mask_sort_idx(m8sub)[: min(capacity, K8 * SU)]
-    k = ss8.shape[0]
-    ssm = u8sel[ss8 // SU] * SU + ss8 % SU  # position within the unit subset
-    src = usel[ssm // _UNIT] * _UNIT + ssm % _UNIT
-    if k < capacity:
-        src = jnp.concatenate(
-            [src, jnp.zeros((capacity - k,), jnp.int32)]
-        )
-    return src, unit_overflow
+    packed = _pack_units(m2)  # (U, 4) int32 — one elementwise pass over E
+    excl_u = _excl_cumsum_flat(ucnt)  # (U,) starting output slot per unit
+    incl_u = excl_u + ucnt
+    q = jnp.arange(capacity, dtype=jnp.int32)
+    # merge-sort searchsorted: unit owning output slot q (first unit whose
+    # inclusive count exceeds q)
+    unit = jnp.clip(
+        jnp.searchsorted(incl_u, q + 1, method="sort"), 0, U - 1
+    )
+    r = q - excl_u[unit]  # rank within the unit, 0..127 for valid slots
+    w = packed[unit]  # (capacity, 4) — 16-byte row gather per slot
+    # word level: prefix popcounts pick the word holding rank r
+    pc = jax.lax.population_count(w)
+    c1 = pc[:, 0]
+    c2 = c1 + pc[:, 1]
+    c3 = c2 + pc[:, 2]
+    widx = ((r >= c1).astype(jnp.int32) + (r >= c2) + (r >= c3))
+    word = jnp.where(
+        widx == 0, w[:, 0],
+        jnp.where(widx == 1, w[:, 1], jnp.where(widx == 2, w[:, 2], w[:, 3])))
+    r = r - jnp.where(
+        widx == 0, 0, jnp.where(widx == 1, c1, jnp.where(widx == 2, c2, c3)))
+    # byte level within the 32-bit word
+    b = jnp.stack([(word >> (8 * i)) & 0xFF for i in range(4)], axis=-1)
+    bp = jax.lax.population_count(b)
+    d1 = bp[:, 0]
+    d2 = d1 + bp[:, 1]
+    d3 = d2 + bp[:, 2]
+    bidx = ((r >= d1).astype(jnp.int32) + (r >= d2) + (r >= d3))
+    byte = jnp.where(
+        bidx == 0, b[:, 0],
+        jnp.where(bidx == 1, b[:, 1], jnp.where(bidx == 2, b[:, 2], b[:, 3])))
+    r = r - jnp.where(
+        bidx == 0, 0, jnp.where(bidx == 1, d1, jnp.where(bidx == 2, d2, d3)))
+    # bit level: 8 static steps find the r-th set bit of the byte
+    pos = jnp.zeros_like(r)
+    cnt = jnp.zeros_like(r)
+    for i in range(8):
+        bit = (byte >> i) & 1
+        pos = jnp.where((cnt == r) & (bit == 1), i, pos)
+        cnt = cnt + bit
+    src = unit * _UNIT + widx * 32 + bidx * 8 + pos
+    return src, jnp.bool_(False)
 
 
 def _mask_sort_idx(mask: Array, packed_limit: int = 1 << 27) -> Array:
@@ -538,15 +556,14 @@ def _mc_padded_impl(
     E = mask_flat.shape[0]
     m2v, ucnt_v = _unit_view(mask_flat)  # shared: counts + compaction
     num_vertices = jnp.sum(ucnt_v)
-    vu = vert_units or _default_unit_capacity(vert_capacity, E)
-    src, _ = _twolevel_src(mask_flat, vert_capacity, vu, m2=m2v, ucnt=ucnt_v)
+    del vert_units  # selection is exact since round 5; no unit budget
+    src, _ = _twolevel_src(mask_flat, vert_capacity, 0, m2=m2v, ucnt=ucnt_v)
     valid_slots = (
         jnp.arange(vert_capacity, dtype=jnp.int32) < num_vertices
     )
     verts = _selected_positions(
         density, thresh, src, valid_slots, scale, lower
     ).T
-    v_ovf = jnp.sum(ucnt_v > 0, dtype=jnp.int32) > vu
 
     # --- faces ---------------------------------------------------------------
     if cmask is None:
@@ -563,14 +580,13 @@ def _mc_padded_impl(
     # face_capacity is a safe default active-cube budget; a measured
     # ``active_capacity`` (counts pass) roughly halves the compaction sorts
     # (a cube averages 2-3 triangles).
+    del cube_units  # selection is exact since round 5; no unit budget
     amask = (ntris > 0).astype(jnp.int8)
-    C = amask.shape[0]
     Ac = active_capacity or face_capacity
-    cu = cube_units or _default_unit_capacity(Ac, C)
     m2c, ucnt_c = _unit_view(amask)
-    asrc, _ = _twolevel_src(amask, Ac, cu, m2=m2c, ucnt=ucnt_c)
+    asrc, _ = _twolevel_src(amask, Ac, 0, m2=m2c, ucnt=ucnt_c)
     n_active = jnp.sum(ucnt_c)
-    a_ovf = (jnp.sum(ucnt_c > 0, dtype=jnp.int32) > cu) | (n_active > Ac)
+    a_ovf = n_active > Ac
     valid_a = jnp.arange(Ac, dtype=jnp.int32) < n_active
     ntris_a = jnp.where(valid_a, ntris[asrc], 0)  # (Ac,)
     base_a = _excl_cumsum_flat(ntris_a)
@@ -622,7 +638,160 @@ def _mc_padded_impl(
         fcols.append(jnp.where(valid_f, ids_all[gidx], 0))
     faces = jnp.stack(fcols, axis=-1)
 
-    return MCResult(verts, faces, num_vertices, num_faces, v_ovf | a_ovf)
+    return MCResult(verts, faces, num_vertices, num_faces, a_ovf)
+
+
+class MCSoupResult(NamedTuple):
+    """Padded triangle-soup marching cubes output (static shapes).
+
+    ``soup[:num_faces]`` are world-space triangles; the tail is zero padding
+    (degenerate point triangles — guaranteed misses for the casters)."""
+
+    soup: Array  # (face_capacity, 3, 3) float32
+    num_faces: Array  # () int32 (true count, may exceed capacity)
+    active_overflow: Array = False
+
+    @property
+    def overflowed(self) -> Array:
+        return (self.num_faces > self.soup.shape[0]) | jnp.asarray(
+            self.active_overflow)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("face_capacity", "fused_masks_mode", "active_capacity"),
+)
+def _mc_soup_impl(
+    density: Array,
+    thresh: Array,
+    lower: Array,
+    upper: Array,
+    face_capacity: int,
+    fused_masks_mode: int = 0,
+    active_capacity: int = 0,
+) -> MCSoupResult:
+    """Triangle-soup marching cubes: positions emitted AT the face pass.
+
+    The flagship render pipeline consumes ``vertices[faces]`` — an indexed
+    mesh is the wrong intermediate for it: the de-index gather costs ~19 ms
+    forward and ~20 ms in its scatter transpose at 256^3, and the entire
+    vertex numbering/compaction machinery (the concatenated-edge-mask
+    prefix scan + selection + sparse positions) exists only to build ids
+    the de-index immediately consumes. This op skips ALL of it: each face
+    slot decodes its 3 edges' lattice endpoints directly from the cube
+    coordinates + packed triangle table and interpolates the crossing
+    positions from 2 density gathers per edge. Gradients flow through
+    those gathers (their transpose is a coherent scatter-add into the
+    grid). Use :func:`marching_cubes_padded` when an indexed mesh is
+    actually needed (IO, deduplicated vertices).
+    """
+    X, Y, Z = density.shape
+    if fused_masks_mode:
+        from ..kernels.mc_masks import fused_masks
+
+        _, _, _, cmask = fused_masks(jax.lax.stop_gradient(density), thresh)
+    else:
+        cmask = _cube_mask((density > thresh).astype(jnp.uint8))
+    scale = (upper - lower) / jnp.asarray([X, Y, Z], jnp.float32)
+
+    mask = cmask.reshape(-1).astype(jnp.int32)  # (C,)
+    ntris = _ntris_vec(mask)
+    num_faces = jnp.sum(ntris)
+
+    amask = (ntris > 0).astype(jnp.int8)
+    Ac = active_capacity or face_capacity
+    m2c, ucnt_c = _unit_view(amask)
+    asrc, _ = _twolevel_src(amask, Ac, 0, m2=m2c, ucnt=ucnt_c)
+    n_active = jnp.sum(ucnt_c)
+    a_ovf = n_active > Ac
+    valid_a = jnp.arange(Ac, dtype=jnp.int32) < n_active
+    ntris_a = jnp.where(valid_a, ntris[asrc], 0)
+    base_a = _excl_cumsum_flat(ntris_a)
+    incl_a = base_a + ntris_a
+
+    s_q = jnp.arange(1, face_capacity + 1, dtype=incl_a.dtype)
+    apos = jnp.clip(
+        jnp.searchsorted(incl_a, s_q, method="sort"), 0, incl_a.shape[0] - 1
+    )
+    cube = asrc[apos]
+    k = (s_q - 1) - base_a[apos]
+    valid_f = s_q <= num_faces
+    CY, CZ = Y - 1, Z - 1
+    ci = cube // (CY * CZ)
+    cj = (cube // CZ) % CY
+    ck = cube % CZ
+    pk = _PACKED_TRI_FLAT[mask[cube] * T.MAX_TRIS_PER_CUBE
+                          + jnp.clip(k, 0, T.MAX_TRIS_PER_CUBE - 1)]
+    dflat = density.reshape(-1)
+    corners = []
+    for j in range(3):
+        info = (pk >> (5 * j)) & 31
+        ax = info >> 3
+        ox = (info >> 2) & 1
+        oy = (info >> 1) & 1
+        oz = info & 1
+        # edge lattice coords: x-edges at (ci, cj+oy, ck+oz), y-edges at
+        # (ci+ox, cj, ck+oz), z-edges at (ci+ox, cj+oy, ck) — identical to
+        # _decode_edge's convention, computed here without the global edge
+        # id round-trip
+        ei = jnp.where(ax == 0, ci, ci + ox)
+        ej = jnp.where(ax == 1, cj, cj + oy)
+        ek = jnp.where(ax == 2, ck, ck + oz)
+        p0 = (ei * Y + ej) * Z + ek
+        step = jnp.where(ax == 0, Y * Z, jnp.where(ax == 1, Z, 1))
+        d0 = dflat[p0]
+        d1 = dflat[p0 + step]
+        den = d1 - d0
+        safe = jnp.where(den == 0, jnp.float32(1), den)
+        dt = jnp.clip((thresh - d0) / safe, 0.0, 1.0)
+        fx = ei.astype(jnp.float32) + jnp.where(ax == 0, dt, 0.0)
+        fy = ej.astype(jnp.float32) + jnp.where(ax == 1, dt, 0.0)
+        fz = ek.astype(jnp.float32) + jnp.where(ax == 2, dt, 0.0)
+        vtx = jnp.stack(
+            [fx * scale[0] + lower[0],
+             fy * scale[1] + lower[1],
+             fz * scale[2] + lower[2]], axis=-1)
+        corners.append(jnp.where(valid_f[:, None], vtx, 0.0))
+    soup = jnp.stack(corners, axis=1)  # (Fc, 3, 3)
+    return MCSoupResult(soup, num_faces, a_ovf)
+
+
+def marching_cubes_soup(
+    density: Array,
+    thresh: Union[float, Array],
+    *,
+    face_capacity: int,
+    lower=None,
+    upper=None,
+    active_capacity: int = 0,
+) -> MCSoupResult:
+    """Jittable, differentiable triangle-soup marching cubes.
+
+    Same triangles, same order as
+    ``marching_cubes_padded(...).vertices[faces]`` (asserted in
+    tests/test_marching_cubes.py), without building the indexed mesh — the
+    fast path for pipelines that consume a soup (the cluster casters)."""
+    density = jnp.asarray(density, jnp.float32)
+    if density.ndim != 3 or min(density.shape) < 2:
+        raise ValueError(
+            f"density must be a 3-D grid with every dim >= 2, got "
+            f"{density.shape}")
+    X, Y, Z = density.shape
+    lo = jnp.asarray([0.0, 0.0, 0.0] if lower is None else lower, jnp.float32)
+    up = jnp.asarray([X, Y, Z] if upper is None else upper, jnp.float32)
+    dev = jax.config.jax_default_device
+    plat = dev.platform if dev is not None else jax.default_backend()
+    fused = 1 if plat in ("tpu", "axon") else 0
+    res = _mc_soup_impl(
+        density, jnp.float32(thresh), lo, up, int(face_capacity), fused,
+        int(active_capacity),
+    )
+    debug.check(
+        jnp.logical_not(jnp.asarray(res.overflowed)),
+        "marching_cubes_soup: capacity overflow (counted {f} faces)",
+        f=res.num_faces,
+    )
+    return res
 
 
 def marching_cubes_padded(

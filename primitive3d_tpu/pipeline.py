@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from .mxu_cast import cast_mxu, triangle_matrix
-from .ops.marching_cubes import MCResult, marching_cubes_padded
+from .ops.marching_cubes import (MCResult, marching_cubes_padded,
+                                 marching_cubes_soup)
 
 Array = jax.Array
 
@@ -31,7 +32,10 @@ Array = jax.Array
 class RenderOut(NamedTuple):
     depth: Array  # (R,) float32; max_dist where no surface hit
     hit: Array  # (R,) bool
-    mc: MCResult
+    # indexed-mesh extraction result; None on the pallas fast path, which
+    # extracts a triangle soup directly (marching_cubes_soup) and never
+    # builds the indexed mesh
+    mc: Optional[MCResult] = None
 
 
 def render_depth(
@@ -67,6 +71,28 @@ def render_depth(
     """
     if backend == "auto":
         backend = "pallas" if face_capacity > 8192 else "mxu"
+    o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
+    d = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)
+    if backend == "pallas":
+        # fast path: soup-direct extraction — no indexed mesh, no
+        # vertices[faces] de-index gather (and no 19 + 20 ms fwd/bwd
+        # round-trip through it at 256^3; round-5 flagship fix). Padded
+        # soup rows are degenerate point triangles -> guaranteed misses.
+        from .kernels.raycast_kernel import cast_clusters_diff
+
+        sres = marching_cubes_soup(
+            density,
+            thresh,
+            face_capacity=face_capacity,
+            lower=lower,
+            upper=upper,
+            active_capacity=active_capacity,
+        )
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        depth, idx = cast_clusters_diff(
+            sres.soup, o, d, max_dist=max_dist, interpret=interpret
+        )
+        return RenderOut(depth, idx >= 0, None)
     res = marching_cubes_padded(
         density,
         thresh,
@@ -81,18 +107,8 @@ def render_depth(
     # Padded face rows are [0,0,0] -> degenerate (v0,v0,v0) triangles -> den=0
     # -> guaranteed miss in the caster; no masking needed.
     tris = res.vertices[res.faces]  # (face_capacity, 3, 3)
-    o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
-    d = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)
-    if backend == "pallas":
-        from .kernels.raycast_kernel import cast_clusters_diff
-
-        interpret = jax.default_backend() not in ("tpu", "axon")
-        depth, idx = cast_clusters_diff(
-            tris, o, d, max_dist=max_dist, interpret=interpret
-        )
-    else:
-        w = triangle_matrix(tris)
-        depth, idx = cast_mxu(w, o, d, jnp.float32(max_dist), chunk)
+    w = triangle_matrix(tris)
+    depth, idx = cast_mxu(w, o, d, jnp.float32(max_dist), chunk)
     return RenderOut(depth, idx >= 0, res)
 
 

@@ -4,6 +4,8 @@ Test strategy modeled on the reference's example-based golden parity
 (reference: examples/sphere.py:27-30, examples/bunny_sdf.py:28-31) plus the
 unit/gradient coverage the reference lacks (SURVEY.md §4).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +27,7 @@ def sphere_grid(n=32, c=None, r=None):
     return (x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2 - r**2
 
 
-BUNNY = "/root/reference/examples/data/bunny.npy"
+BUNNY = os.path.join(os.path.dirname(__file__), "..", "examples", "data", "bunny.npy")
 
 
 class TestParity:
@@ -220,6 +222,57 @@ class TestGradients:
                 fd,
                 ga[i, j, k],
             )
+
+
+class TestSoupParity:
+    """marching_cubes_soup must emit the exact triangles (values AND order)
+    of marching_cubes_padded(...).vertices[faces] — the de-index identity
+    the flagship fast path relies on."""
+
+    @pytest.mark.parametrize("n", [16, 33])
+    def test_soup_equals_deindexed_mesh(self, n):
+        from primitive3d_tpu.ops.marching_cubes import (marching_cubes_padded,
+                                                        marching_cubes_soup)
+
+        grid = jnp.asarray(sphere_grid(n, c=n / 2 + 0.31), jnp.float32)
+        res = marching_cubes_padded(
+            grid, 0.0, vert_capacity=8192, face_capacity=16384,
+            lower=(-1, -1, -1), upper=(1, 1, 1))
+        nf = int(res.num_faces)
+        assert nf > 0 and not bool(res.overflowed)
+        ref = np.asarray(res.vertices)[np.asarray(res.faces)]
+
+        sres = marching_cubes_soup(
+            grid, 0.0, face_capacity=16384, lower=(-1, -1, -1),
+            upper=(1, 1, 1))
+        assert int(sres.num_faces) == nf
+        assert not bool(sres.overflowed)
+        soup = np.asarray(sres.soup)
+        np.testing.assert_allclose(soup[:nf], ref[:nf], rtol=1e-6, atol=1e-6)
+        assert np.all(soup[nf:] == 0)
+
+    def test_soup_gradient_matches_padded_path(self):
+        from primitive3d_tpu.ops.marching_cubes import (marching_cubes_padded,
+                                                        marching_cubes_soup)
+
+        grid = jnp.asarray(sphere_grid(16, c=8.29), jnp.float32)
+
+        def loss_soup(g):
+            r = marching_cubes_soup(g, 0.0, face_capacity=4096)
+            return jnp.sum(r.soup ** 2)
+
+        def loss_deindex(g):
+            r = marching_cubes_padded(
+                g, 0.0, vert_capacity=2048, face_capacity=4096)
+            nf_mask = (jnp.arange(4096) < r.num_faces)[:, None, None]
+            tris = jnp.where(nf_mask, r.vertices[r.faces], 0.0)
+            return jnp.sum(tris ** 2)
+
+        gs = jax.grad(loss_soup)(grid)
+        gd = jax.grad(loss_deindex)(grid)
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gd), rtol=1e-4, atol=1e-5)
+        assert float(jnp.abs(gs).sum()) > 0
 
 
 class TestMaskSortIdxBoundary:

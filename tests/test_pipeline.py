@@ -16,7 +16,12 @@ from primitive3d_tpu.render.camera import TILE, camera_rays, tile_order
 
 def sphere_density(n=16):
     x, y, z = np.mgrid[:n, :n, :n].astype(np.float32)
-    c, r = n / 2.0, n / 4.0
+    # off-centre: a perfectly centred sphere produces exact depth ties
+    # between mirror triangles; backends computing triangle coordinates
+    # through different (all equally correct) arithmetic resolve such ties
+    # toward different winners — same loss, gradient on a different face
+    # (round-4 "ties move, losses don't" trap)
+    c, r = n / 2.0 + 0.37, n / 4.0
     return (-((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2 - r**2) / n).astype(
         np.float32
     )
