@@ -34,6 +34,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
 RESULT = {"metric": "bench_incomplete", "value": 0, "unit": "rays/s",
           "vs_baseline": 0.0}
 _printed = False
@@ -269,7 +271,8 @@ def main():
             except Exception as e:  # noqa: BLE001
                 log(f"MC {name} failed: {e}")
 
-        grid = jnp.asarray(np.load("/root/reference/examples/data/bunny.npy"))
+        grid = jnp.asarray(
+            np.load(os.path.join(_HERE, "examples", "data", "bunny.npy")))
         mc_bench("66^3 bunny", grid, K=20)
 
         for n in (128, 256):
@@ -284,7 +287,7 @@ def main():
 
     # --- secondary: marching tetrahedra -------------------------------------
     try:
-        D = "/root/reference/examples/data/tetrahedra"
+        D = os.path.join(_HERE, "examples", "data", "tetrahedra")
         pts = jnp.asarray(np.load(f"{D}/points.npy"))
         sdfs = jnp.asarray(np.load(f"{D}/sdfs.npy"))
         tets = jnp.asarray(np.load(f"{D}/tetrahedras.npy"), jnp.int32)
@@ -349,7 +352,27 @@ def main():
 
         float(mt2(jnp.float32(0), pts2, tets2, sdf2j))  # warm
         sec = max((mt2_total(8) - mt2_total(4)) / 4, 1e-9)
-        log(f"MT 128^3 lattice ({tets2_np.shape[0]} tets): "
+        log(f"MT 128^3 lattice/sort-tier ({tets2_np.shape[0]} tets): "
+            f"{sec*1e3:.2f} ms = {tets2_np.shape[0]/sec/1e6:.2f} Mtet/s")
+
+        # round-5 analytic lattice tier: zero sorts (edge ids computed from
+        # the lattice structure); output-identical to the sort tier
+        from primitive3d_tpu.ops.marching_tetrahedra import (
+            marching_tetrahedra_lattice)
+
+        rl = marching_tetrahedra_lattice(
+            None, sdf2j, n2, vert_capacity=1 << 17, face_capacity=1 << 18)
+        assert int(rl.num_vertices) == nv2 and int(rl.num_faces) == nf2
+
+        def mtl(z):
+            r = marching_tetrahedra_lattice(
+                None, sdf2j + z, n2,
+                vert_capacity=1 << 17, face_capacity=1 << 18)
+            return (jnp.sum(r.vertices)
+                    + jnp.sum(r.faces).astype(jnp.float32))
+
+        sec = amortized(mtl, K=10)
+        log(f"MT 128^3 lattice/analytic ({tets2_np.shape[0]} tets): "
             f"{sec*1e3:.2f} ms = {tets2_np.shape[0]/sec/1e6:.2f} Mtet/s")
     except Exception as e:  # noqa: BLE001
         log(f"MT section failed: {e}")

@@ -14,13 +14,17 @@ from .io.ply import load_mesh, save_mesh
 from .raycast import RayHits, available_backends, create_raycaster
 from .ops.marching_cubes import (
     MCResult,
+    MCSoupResult,
     marching_cubes,
     marching_cubes_counts,
     marching_cubes_padded,
+    marching_cubes_soup,
 )
 from .ops.marching_tetrahedra import (
     MTResult,
+    grid_tetrahedra,
     marching_tetrahedra,
+    marching_tetrahedra_lattice,
     marching_tetrahedra_padded,
 )
 from .version import __version__
@@ -44,11 +48,15 @@ __all__ = [
     "save_mesh",
     "load_mesh",
     "MCResult",
+    "MCSoupResult",
     "marching_cubes",
     "marching_cubes_counts",
     "marching_cubes_padded",
+    "marching_cubes_soup",
     "MTResult",
+    "grid_tetrahedra",
     "marching_tetrahedra",
     "marching_tetrahedras",
+    "marching_tetrahedra_lattice",
     "marching_tetrahedra_padded",
 ]

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import debug
-from .marching_cubes import _masked_compact_cols, _twolevel_src
+from .marching_cubes import (_excl_cumsum_flat, _masked_compact_cols,
+                             _twolevel_src)
 
 Array = jax.Array
 
@@ -382,8 +383,11 @@ def _mt_impl_tmajor(
     incl = base + ntris
     s_q = jnp.arange(1, face_capacity + 1, dtype=incl.dtype)
     tet_a = jnp.clip(jnp.searchsorted(incl, s_q, method="sort"), 0, A - 1)
-    k = (s_q - 1) - base[tet_a]  # 0 or 1
-    valid_f = s_q <= num_faces
+    # clip keeps within-capacity slots well-formed when active tets exceed A
+    # (overflow is already flagged via num_faces; without the clip k escapes
+    # the 0/1 range and emits garbage ids in otherwise-valid slots)
+    k = jnp.clip((s_q - 1) - base[tet_a], 0, 1)
+    valid_f = (s_q <= num_faces) & (s_q <= incl[A - 1])
     tri_rows = _TRI_TABLE[table_idx[tet_a]]  # (Fc, 6) — Fc-major, small
     fcols = []
     for j in range(3):
@@ -449,6 +453,281 @@ def marching_tetrahedra(
     if return_tet_idx:
         return res.vertices[:nv], res.faces[:nf], res.tet_idx[:nf]
     return res.vertices[:nv], res.faces[:nf]
+
+
+# ---------------------------------------------------------------------------
+# Lattice tier: analytic edge numbering for Kuhn 6-tet grids (no sorts).
+# ---------------------------------------------------------------------------
+# Unique edges of the Kuhn complex over an (n, n, n) vertex lattice fall in
+# exactly 7 direction classes (the nonzero 0/1 offset vectors); every
+# in-range (point, direction) segment is an edge of some cell's tet, and
+# every tet edge is such a segment (each edge's endpoint difference is
+# single-signed, so the flat-min endpoint is the componentwise min). The
+# reference-parity vertex order — lexicographic on (min_id, max_id) vertex
+# pairs, i.e. torch.unique order — is therefore p-major with directions in
+# ascending flat-id-delta order: z, y, yz, x, xz, xy, xyz. Listed here as
+# (dx, dy, dz) in that order; deltas (dx*n + dy)*n + dz are strictly
+# ascending for every n >= 2.
+_LATTICE_DIRS = (
+    (0, 0, 1), (0, 1, 0), (0, 1, 1), (1, 0, 0),
+    (1, 0, 1), (1, 1, 0), (1, 1, 1),
+)
+# Kuhn 6-tet paths around the (0 -> 7) cell diagonal, matching
+# grid_tetrahedra's emission order (tet index t = cell * 6 + path).
+_KUHN_PATHS = ((0, 1, 3, 7), (0, 3, 2, 7), (0, 2, 6, 7),
+               (0, 6, 4, 7), (0, 4, 5, 7), (0, 5, 1, 7))
+
+
+def _where_chain(sel: Array, values) -> Array:
+    """values[sel] for a short static list, as a select chain (no gather)."""
+    out = jnp.full_like(sel, values[0])
+    for i in range(1, len(values)):
+        out = jnp.where(sel == i, values[i], out)
+    return out
+
+
+def _lattice_fields(occ3: Array, n: int):
+    """Direction-major crossing structure of an (n, n, n) occupancy grid.
+
+    Returns ``(cbyte, tot, excl_pt)``: per-point packed 7-bit crossing byte
+    (bit di set iff the edge from p in direction ``_LATTICE_DIRS[di]`` is in
+    range and sign-crossing), per-point crossing totals, and the exclusive
+    prefix scan of those totals in p-major order. The global id of crossing
+    edge (p, di) is ``excl_pt[p] + popcount(cbyte[p] & ((1 << di) - 1))`` —
+    the analytic replacement for the sort tier's torch.unique analog.
+    """
+    N = n * n * n
+    cbyte = jnp.zeros((N,), jnp.int32)
+    tot = jnp.zeros((N,), jnp.int32)
+    for di, (dx, dy, dz) in enumerate(_LATTICE_DIRS):
+        a = occ3[: n - dx, : n - dy, : n - dz]
+        b = occ3[dx:, dy:, dz:]
+        c = jnp.pad((a != b).astype(jnp.int32),
+                    ((0, dx), (0, dy), (0, dz))).reshape(N)
+        cbyte = cbyte + (c << di)
+        tot = tot + c
+    excl_pt = _excl_cumsum_flat(tot)
+    return cbyte, tot, excl_pt
+
+
+def _mt_impl_lattice(
+    vertices,  # (n^3, 3) float32 or None (identity index-space lattice)
+    sdf: Array,
+    n: int,
+    vert_capacity: int,
+    face_capacity: int,
+) -> MTResult:
+    """Marching tetrahedra over the Kuhn lattice — zero sorts.
+
+    Output-identical to the sort tiers on ``grid_tetrahedra(n)`` inputs
+    (vertex order, face order, windings, tet_idx — asserted in
+    tests/test_marching_tetrahedra.py), but every per-edge structure is
+    computed analytically from the lattice: crossing masks are shifted-XOR
+    stencils, vertex ids are a single prefix scan in p-major order, and the
+    only sort-shaped work left is two merge-``searchsorted`` calls sizing
+    with n^3, not 6T. Differentiable wrt ``vertices`` and ``sdf``.
+    """
+    N = n * n * n
+    if sdf.shape != (N,):
+        raise ValueError(f"sdf must be ({N},) for lattice n={n}, "
+                         f"got {sdf.shape}")
+    occ3 = (sdf > 0).reshape(n, n, n)
+    cbyte, tot, excl_pt = _lattice_fields(occ3, n)
+    incl_pt = excl_pt + tot
+    num_vertices = incl_pt[N - 1]
+    deltas = [(dx * n + dy) * n + dz for dx, dy, dz in _LATTICE_DIRS]
+
+    # --- vertices: slot -> (point, direction) decode ------------------------
+    q = jnp.arange(vert_capacity, dtype=jnp.int32)
+    p = jnp.clip(jnp.searchsorted(incl_pt, q + 1, method="sort"), 0, N - 1)
+    r = q - excl_pt[p]  # rank within the point's crossing byte
+    cb = cbyte[p]
+    di = jnp.zeros_like(r)
+    cnt = jnp.zeros_like(r)
+    for i in range(7):
+        bit = (cb >> i) & 1
+        di = jnp.where((cnt == r) & (bit == 1), i, di)
+        cnt = cnt + bit
+    b_idx = p + _where_chain(di, deltas)
+    b_idx = jnp.minimum(b_idx, N - 1)
+    s_a = sdf[p]
+    s_b = sdf[b_idx]
+    denom = s_a - s_b
+    denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    w_a = -s_b / denom
+    w_b = s_a / denom
+    valid_v = q < num_vertices
+    if vertices is None:
+        # identity lattice positions: decode p/b to coordinates (no gathers)
+        pi = (p // (n * n)).astype(jnp.float32)
+        pj = ((p // n) % n).astype(jnp.float32)
+        pk = (p % n).astype(jnp.float32)
+        ddx = _where_chain(di, [d[0] for d in _LATTICE_DIRS])
+        ddy = _where_chain(di, [d[1] for d in _LATTICE_DIRS])
+        ddz = _where_chain(di, [d[2] for d in _LATTICE_DIRS])
+        cols = [pi + ddx * w_b, pj + ddy * w_b, pk + ddz * w_b]
+    else:
+        cols = [vertices[:, c][p] * w_a + vertices[:, c][b_idx] * w_b
+                for c in range(3)]
+    verts = jnp.stack(
+        [jnp.where(valid_v, c, 0.0) for c in cols], axis=-1)
+
+    # --- faces: per-cell triangle counts (elementwise stencils) -------------
+    C = (n - 1) ** 3
+    occ_c = {}
+    for c in range(8):
+        dx, dy, dz = (c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1
+        occ_c[c] = occ3[dx: n - 1 + dx, dy: n - 1 + dy, dz: n - 1 + dz]
+    nt_p = []
+    packed_nt = jnp.zeros((C,), jnp.int32)
+    celltot = jnp.zeros((C,), jnp.int32)
+    for pth, quad in enumerate(_KUHN_PATHS):
+        s4 = sum(occ_c[c].astype(jnp.int32) for c in quad).reshape(C)
+        nt = jnp.where((s4 > 0) & (s4 < 4), jnp.where(s4 == 2, 2, 1), 0)
+        nt_p.append(nt)
+        packed_nt = packed_nt + (nt << (2 * pth))
+        celltot = celltot + nt
+    excl_cell = _excl_cumsum_flat(celltot)
+    incl_cell = excl_cell + celltot
+    num_faces = incl_cell[C - 1]
+
+    s_q = jnp.arange(1, face_capacity + 1, dtype=jnp.int32)
+    cell = jnp.clip(
+        jnp.searchsorted(incl_cell, s_q, method="sort"), 0, C - 1)
+    rr = (s_q - 1) - excl_cell[cell]
+    w = packed_nt[cell]
+    path = jnp.zeros_like(rr)
+    kk = jnp.zeros_like(rr)
+    cnt = jnp.zeros_like(rr)
+    for pth in range(6):
+        ntp = (w >> (2 * pth)) & 3
+        hit = (rr >= cnt) & (rr < cnt + ntp)
+        path = jnp.where(hit, pth, path)
+        kk = jnp.where(hit, rr - cnt, kk)
+        cnt = cnt + ntp
+    valid_f = s_q <= num_faces
+
+    # corner flat ids of the face's tet (analytic from cell + path)
+    nm1 = n - 1
+    ci = cell // (nm1 * nm1)
+    cj = (cell // nm1) % nm1
+    ck = cell % nm1
+    base_pt = (ci * n + cj) * n + ck
+
+    def corner_flat(code_per_path):
+        code = _where_chain(path, list(code_per_path))
+        return (base_pt + ((code & 1) * n + ((code >> 1) & 1)) * n
+                + ((code >> 2) & 1))
+
+    p0 = corner_flat([q[0] for q in _KUHN_PATHS])  # always corner 0
+    p1 = corner_flat([q[1] for q in _KUHN_PATHS])
+    p2 = corner_flat([q[2] for q in _KUHN_PATHS])
+    p3 = corner_flat([q[3] for q in _KUHN_PATHS])  # always corner 7
+
+    # orientation flip from TRUE positions (deformed lattices can invert
+    # cells; index-space Kuhn tets are all positive — verified analytically)
+    if vertices is None:
+        neg = jnp.zeros(p0.shape, bool)
+    else:
+        vg = jax.lax.stop_gradient(vertices)
+
+        def comp(idx):
+            return vg[:, 0][idx], vg[:, 1][idx], vg[:, 2][idx]
+
+        ax_, ay_, az_ = comp(p0)
+        e1 = tuple(u - v for u, v in zip(comp(p1), (ax_, ay_, az_)))
+        e2 = tuple(u - v for u, v in zip(comp(p2), (ax_, ay_, az_)))
+        e3 = tuple(u - v for u, v in zip(comp(p3), (ax_, ay_, az_)))
+        dets = ((e1[1] * e2[2] - e1[2] * e2[1]) * e3[0]
+                + (e1[2] * e2[0] - e1[0] * e2[2]) * e3[1]
+                + (e1[0] * e2[1] - e1[1] * e2[0]) * e3[2])
+        neg = dets < 0
+    cc0 = jnp.where(neg, p1, p0)
+    cc1 = jnp.where(neg, p0, p1)
+
+    occ_flat = occ3.reshape(N)
+    o0 = occ_flat[cc0].astype(jnp.int32)
+    o1 = occ_flat[cc1].astype(jnp.int32)
+    o2 = occ_flat[p2].astype(jnp.int32)
+    o3 = occ_flat[p3].astype(jnp.int32)
+    table_idx = o0 + 2 * o1 + 4 * o2 + 8 * o3
+    tri_rows = _TRI_TABLE[table_idx]  # (Fc, 6)
+
+    # local edge -> global crossing-edge id (analytic, 2 gathers per edge)
+    ecA = [0, 0, 0, 1, 1, 2]  # TET_EDGES first corners
+    ecB = [1, 2, 3, 2, 3, 3]
+
+    def corner_pick(sel):
+        return jnp.where(
+            sel == 0, cc0,
+            jnp.where(sel == 1, cc1, jnp.where(sel == 2, p2, p3)))
+
+    fcols = []
+    for j in range(3):
+        ejk = jnp.take_along_axis(
+            tri_rows, (3 * kk + j)[:, None], axis=1)[:, 0]
+        e = jnp.maximum(ejk, 0)
+        pa = corner_pick(_where_chain(e, ecA))
+        pb = corner_pick(_where_chain(e, ecB))
+        lo = jnp.minimum(pa, pb)
+        dflat = jnp.abs(pa - pb)
+        dsel = jnp.zeros_like(dflat)
+        for i, dv in enumerate(deltas):
+            dsel = jnp.where(dflat == dv, i, dsel)
+        vid = (excl_pt[lo]
+               + jax.lax.population_count(
+                   cbyte[lo] & ((1 << dsel) - 1)))
+        fcols.append(jnp.where(valid_f, vid, 0))
+    faces = jnp.stack(fcols, axis=-1)
+    tet_of_face = jnp.where(valid_f, cell * 6 + path, -1)
+
+    return MTResult(verts, faces, tet_of_face, num_vertices, num_faces)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "vert_capacity", "face_capacity",
+                              "identity_positions"))
+def _mt_lattice_jit(vertices, sdf, n, vert_capacity, face_capacity,
+                    identity_positions):
+    return _mt_impl_lattice(
+        None if identity_positions else vertices, sdf, n,
+        vert_capacity, face_capacity)
+
+
+def marching_tetrahedra_lattice(
+    vertices,
+    sdf,
+    n: int,
+    *,
+    vert_capacity: int,
+    face_capacity: int,
+) -> MTResult:
+    """Marching tetrahedra over the Kuhn 6-tet lattice — the sort-free tier.
+
+    Drop-in for ``marching_tetrahedra_padded(vertices,
+    grid_tetrahedra(n)[1], sdf, ...)`` when the tet mesh IS the Kuhn
+    lattice (DMTet-style grids, BASELINE config 2): output-identical to
+    the general tiers (same vertex/face order, windings, tet_idx) but with
+    zero sorts — edge identity is analytic, so the 6T-element dedup sorts
+    disappear and runtime scales with n^3 stencils instead. ``vertices``
+    may be ``None`` for the undeformed index-space lattice (positions are
+    then decoded, not gathered). Differentiable wrt ``vertices`` and
+    ``sdf``. General tet meshes must use
+    :func:`marching_tetrahedra_padded`.
+    """
+    sdf = jnp.asarray(sdf, jnp.float32)
+    ident = vertices is None
+    if ident:
+        varr = jnp.zeros((1, 3), jnp.float32)  # placeholder operand
+    else:
+        varr = jnp.asarray(vertices, jnp.float32)
+        if varr.shape != (n * n * n, 3):
+            raise ValueError(
+                f"vertices must be ({n**3}, 3) for lattice n={n}, "
+                f"got {varr.shape}")
+    debug.check_finite(sdf, "sdf")
+    return _mt_lattice_jit(varr, sdf, n, int(vert_capacity),
+                           int(face_capacity), ident)
 
 
 def grid_tetrahedra(n: int):

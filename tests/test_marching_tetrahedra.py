@@ -5,6 +5,8 @@ Parity is tested directly against the reference's pure-PyTorch implementation
 read-only mount, on both the docstring worked example (:119-136) and the
 sphere tet-mesh fixture the reference ships (examples/sphere_tetrahedra.py).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,7 +20,7 @@ from primitive3d_tpu.ops.marching_tetrahedra import (
 )
 from tests.oracles.mt_reference import load_reference_mt
 
-DATA = "/root/reference/examples/data/tetrahedra"
+DATA = os.path.join(os.path.dirname(__file__), "..", "examples", "data", "tetrahedra")
 
 
 def _ref_mt(verts, tets, sdf, return_tet_idx=False):
@@ -227,6 +229,94 @@ class TestVmap:
         np.testing.assert_allclose(
             np.asarray(res.vertices[1][:nv]), np.asarray(v0) * 1.1, atol=1e-4
         )
+
+
+class TestLatticeTier:
+    """The analytic (sort-free) Kuhn-lattice tier must be output-identical
+    to the general sort tiers on grid_tetrahedra inputs — vertex order,
+    face order, windings, tet_idx, counts."""
+
+    def _setup(self, n=12, deform=0.0, seed=3):
+        from primitive3d_tpu.ops.marching_tetrahedra import grid_tetrahedra
+
+        pts, tets = grid_tetrahedra(n)
+        if deform:
+            rng = np.random.default_rng(seed)
+            pts = pts + rng.standard_normal(pts.shape).astype(np.float32) \
+                * deform
+        c = (n - 1) / 2.0
+        sdf = ((n / 4.0)
+               - np.linalg.norm(pts - c, axis=1)).astype(np.float32)
+        return pts, tets, sdf
+
+    @pytest.mark.parametrize("deform", [0.0, 0.15, 0.8])
+    def test_matches_sort_tier(self, deform):
+        # deform=0.8 flips some cells' orientation — exercises the
+        # per-face det path vs _oriented_tets
+        from primitive3d_tpu.ops.marching_tetrahedra import (
+            _mt_impl_dense, marching_tetrahedra_lattice)
+
+        n = 12
+        pts, tets, sdf = self._setup(n, deform)
+        rd = _mt_impl_dense(jnp.asarray(pts), jnp.asarray(tets),
+                            jnp.asarray(sdf), 2048, 4096)
+        rl = marching_tetrahedra_lattice(
+            pts, sdf, n, vert_capacity=2048, face_capacity=4096)
+        assert int(rd.num_vertices) == int(rl.num_vertices) > 100
+        assert int(rd.num_faces) == int(rl.num_faces)
+        np.testing.assert_allclose(
+            np.asarray(rd.vertices), np.asarray(rl.vertices),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(rd.faces), np.asarray(rl.faces))
+        np.testing.assert_array_equal(
+            np.asarray(rd.tet_idx), np.asarray(rl.tet_idx))
+
+    def test_identity_positions(self):
+        """vertices=None decodes index-space positions — must equal the
+        explicit-lattice-points path exactly (and cost zero gathers)."""
+        from primitive3d_tpu.ops.marching_tetrahedra import (
+            marching_tetrahedra_lattice)
+
+        n = 10
+        pts, _, sdf = self._setup(n)
+        ra = marching_tetrahedra_lattice(
+            pts, sdf, n, vert_capacity=1024, face_capacity=2048)
+        rb = marching_tetrahedra_lattice(
+            None, sdf, n, vert_capacity=1024, face_capacity=2048)
+        np.testing.assert_allclose(
+            np.asarray(ra.vertices), np.asarray(rb.vertices),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(ra.faces), np.asarray(rb.faces))
+
+    def test_grad_parity_vs_sort_tier(self):
+        from primitive3d_tpu.ops.marching_tetrahedra import (
+            _mt_impl_dense, marching_tetrahedra_lattice)
+
+        n = 10
+        pts, tets, sdf = self._setup(n, deform=0.1)
+        ptsj, tetsj, sdfj = (jnp.asarray(pts), jnp.asarray(tets),
+                             jnp.asarray(sdf))
+
+        def loss_d(p, s):
+            r = _mt_impl_dense(p, tetsj, s, 1024, 2048)
+            return jnp.sum(r.vertices ** 2)
+
+        def loss_l(p, s):
+            r = marching_tetrahedra_lattice(
+                p, s, n, vert_capacity=1024, face_capacity=2048)
+            return jnp.sum(r.vertices ** 2)
+
+        gd_p, gd_s = jax.grad(loss_d, argnums=(0, 1))(ptsj, sdfj)
+        gl_p, gl_s = jax.grad(loss_l, argnums=(0, 1))(ptsj, sdfj)
+        # same math, different backward structure (custom-VJP compaction vs
+        # plain autodiff gathers) — tolerance covers f32 scatter-add ordering
+        np.testing.assert_allclose(
+            np.asarray(gd_s), np.asarray(gl_s), rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(gd_p), np.asarray(gl_p), rtol=2e-3, atol=1e-4)
+        assert float(jnp.abs(gl_s).sum()) > 0
 
 
 class TestLayoutTiers:

@@ -107,6 +107,80 @@ class TestShardedMC:
         )
 
 
+class TestShardedMT:
+    """Sharded lattice marching tetrahedra vs the single-chip lattice tier:
+    identical global vertex/face order (both use the analytic p-major
+    numbering), so parity is exact array equality after gathering."""
+
+    def _sdf(self, n, c=None):
+        from primitive3d_tpu.ops.marching_tetrahedra import grid_tetrahedra
+
+        pts, _ = grid_tetrahedra(n)
+        c = (n - 1) / 2.0 + 0.23 if c is None else c
+        return ((n / 4.0)
+                - np.linalg.norm(pts - c, axis=1)).astype(np.float32)
+
+    @pytest.mark.parametrize("n", [16, 17])
+    def test_matches_single_chip(self, mesh8, n):
+        from primitive3d_tpu.ops.marching_tetrahedra import (
+            marching_tetrahedra_lattice)
+        from primitive3d_tpu.parallel.marching_tetrahedra import (
+            sharded_marching_tetrahedra_lattice)
+
+        sdf = self._sdf(n)
+        ref = marching_tetrahedra_lattice(
+            None, sdf, n, vert_capacity=8192, face_capacity=16384)
+        nv, nf = int(ref.num_vertices), int(ref.num_faces)
+        assert nv > 100
+
+        res = sharded_marching_tetrahedra_lattice(
+            mesh8, sdf, n, vert_cap_per_shard=2048, face_cap_per_shard=4096)
+        assert not bool(res.overflowed)
+        v, f = gather_sharded_mesh(res)
+        assert v.shape[0] == nv and f.shape[0] == nf
+        np.testing.assert_allclose(
+            v, np.asarray(ref.vertices[:nv]), rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(f, np.asarray(ref.faces[:nf]))
+
+    def test_seam_vertices_unique(self, mesh8):
+        from primitive3d_tpu.parallel.marching_tetrahedra import (
+            sharded_marching_tetrahedra_lattice)
+
+        sdf = self._sdf(16)
+        res = sharded_marching_tetrahedra_lattice(
+            mesh8, sdf, 16, vert_cap_per_shard=2048, face_cap_per_shard=4096)
+        v, f = gather_sharded_mesh(res)
+        uniq = np.unique(np.round(v, 5), axis=0)
+        assert uniq.shape[0] == v.shape[0]
+        assert f.min() >= 0 and f.max() < v.shape[0]
+
+    def test_gradient_matches_single_chip(self, mesh8):
+        from primitive3d_tpu.ops.marching_tetrahedra import (
+            marching_tetrahedra_lattice)
+        from primitive3d_tpu.parallel.marching_tetrahedra import (
+            sharded_marching_tetrahedra_lattice)
+
+        n = 16
+        sdf = jnp.asarray(self._sdf(n))
+
+        def loss_sharded(s):
+            res = sharded_marching_tetrahedra_lattice(
+                mesh8, s, n, vert_cap_per_shard=1024,
+                face_cap_per_shard=2048)
+            return jnp.sum(res.vertices ** 2)
+
+        def loss_single(s):
+            r = marching_tetrahedra_lattice(
+                None, s, n, vert_capacity=8192, face_capacity=16384)
+            return jnp.sum(r.vertices ** 2)
+
+        gs = jax.grad(loss_sharded)(sdf)
+        g1 = jax.grad(loss_single)(sdf)
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(g1), rtol=1e-4, atol=1e-4)
+        assert float(jnp.abs(gs).sum()) > 0
+
+
 class TestShardedPipeline:
     @staticmethod
     def _problem(n=16, R=256):
