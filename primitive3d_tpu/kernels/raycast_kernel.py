@@ -1247,11 +1247,18 @@ def _kernel_plane_bwd(n_ref, entries_ref, widx_ref, g4_ref, out_ref, *,
     sub_s = jax.lax.broadcasted_iota(jnp.int32, (S, rchunk), 0)
     lo = j * cb
 
+    # HIGHEST: with f32 operands, DEFAULT would run a single bf16 MXU pass,
+    # truncating the cotangents to ~8 mantissa bits — the streaming tier's
+    # gradients would diverge from the resident tier's exact f32 scatter-add
+    # (round-5 advisor fix). The dot is (S, rchunk) x (rchunk, 4): N = 4, so
+    # the extra exactness passes are nearly free. (The forward fin path gets
+    # exactness from its bf16x3 operand split instead; its operands are
+    # bf16, where DEFAULT is the correct pin — see _kernel_mxu_fin.)
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     def body(e, _):

@@ -34,10 +34,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from ..core import debug
 from ..ops import mc_tables as T
-from ..ops.marching_cubes import (_PACKED_TRI_FLAT, _default_unit_capacity,
-                                  _excl_cumsum_flat, _ntris_vec,
-                                  _twolevel_src)
+from ..ops.marching_cubes import (_PACKED_TRI_FLAT, _excl_cumsum_flat,
+                                  _ntris_vec, _twolevel_src)
 
 Array = jax.Array
 
@@ -47,7 +47,12 @@ _NUM_TRIS = jnp.asarray(T.NUM_TRIS)
 class ShardedMCResult(NamedTuple):
     """Per-shard padded outputs; concatenating shard-validity windows yields
     the global mesh. ``vert_base/face_base`` are each shard's global id
-    offsets, ``vert_count/face_count`` its valid item counts."""
+    offsets, ``vert_count/face_count`` its valid item counts.
+
+    ``vert_count/face_count`` are TRUE counts and may exceed the per-shard
+    capacities (the buffers then hold a truncated shard) — check
+    :attr:`overflowed` before trusting a padded result, exactly like the
+    single-chip :class:`~primitive3d_tpu.ops.marching_cubes.MCResult`."""
 
     vertices: Array  # (S * vert_cap_per_shard, 3)
     faces: Array  # (S * face_cap_per_shard, 3)
@@ -55,6 +60,15 @@ class ShardedMCResult(NamedTuple):
     face_base: Array  # (S,)
     vert_count: Array  # (S,)
     face_count: Array  # (S,)
+
+    @property
+    def overflowed(self) -> Array:
+        S = self.vert_base.shape[0]
+        vcap = self.vertices.shape[0] // S
+        fcap = self.faces.shape[0] // S
+        return jnp.any(
+            (self.vert_count > vcap) | (self.face_count > fcap)
+        )
 
 
 def _row_ids(c: Array) -> Array:
@@ -144,25 +158,56 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
         halo = jnp.where(s == S - 1, slab[-1:], halo)
         g = jnp.concatenate([slab, halo], axis=0)  # (Xs+1, Y, Z)
 
-        occ = g > thresh
-        occ_i = occ.astype(jnp.int32)
-
         grow = s * Xs + jnp.arange(Xs + 1)  # global row of local row i
+        rows_ok = (grow < Xv)[:, None, None]
 
         # crossings; y/z include the halo row, x covers owned rows only.
         # Rows past the true grid (x-padding for non-divisible X) are
         # edge-row replicas: their y/z crossings would duplicate the last
-        # real row's, so they are masked against the true row count.
-        rows_ok = (grow < Xv)[:, None, None]
-        cy = (occ[:, :-1, :] != occ[:, 1:, :]) & rows_ok  # (Xs+1, Y-1, Z)
-        cz = (occ[:, :, :-1] != occ[:, :, 1:]) & rows_ok  # (Xs+1, Y, Z-1)
-        cx = (occ[:-1] != occ[1:]) & rows_ok[:Xs]  # (Xs, Y, Z); replicas
-        # never differ so the mask here is defensive only
+        # real row's, so they are masked against the true row count. The
+        # fused Pallas mask kernel computes all four stencils in one sweep
+        # on TPU (round-5 x1-overhead fix; the XLA stencil path remains for
+        # CPU/interpret).
+        dev = jax.config.jax_default_device
+        plat = dev.platform if dev is not None else jax.default_backend()
+        if plat in ("tpu", "axon"):
+            from ..kernels.mc_masks import fused_masks
 
-        ny = jnp.sum(cy, axis=(1, 2), dtype=jnp.int32)  # (Xs+1,)
-        nz = jnp.sum(cz, axis=(1, 2), dtype=jnp.int32)
-        nx = jnp.sum(cx, axis=(1, 2), dtype=jnp.int32)  # (Xs,)
-        row_tot_local = ny[:Xs] + nz[:Xs] + nx  # owned rows
+            cxk, cyk, czk, cmask = fused_masks(
+                jax.lax.stop_gradient(g), thresh)
+            cy = cyk.astype(bool) & rows_ok
+            cz = czk.astype(bool) & rows_ok
+            cx = cxk.astype(bool) & rows_ok[:Xs]
+        else:
+            occ = g > thresh
+            cy = (occ[:, :-1, :] != occ[:, 1:, :]) & rows_ok
+            cz = (occ[:, :, :-1] != occ[:, :, 1:]) & rows_ok
+            cx = (occ[:-1] != occ[1:]) & rows_ok[:Xs]
+            cmask = None
+
+        # --- unified row-major edge layout ----------------------------------
+        # Per point-row i: [y-block (Y-1)*Z, z-block Y*(Z-1), x-block Y*Z]
+        # (x-block zeros for the halo row — its x-edges belong to the next
+        # shard). ONE (Xs+1, rowlen) mask replaces round-4's three separate
+        # per-axis scans + three grid-scale id arrays: a single scan
+        # numbers everything, the face pass gathers from a single flat id
+        # array, and the row order y,z,x keeps seam ids computable from
+        # halo-row data alone (y/z crossings live within a row).
+        rowlen = (Y - 1) * Z + Y * (Z - 1) + Y * Z
+        nyr = (Y - 1) * Z
+        nzr = Y * (Z - 1)
+        crow = jnp.concatenate(
+            [
+                cy.reshape(Xs + 1, -1).astype(jnp.int32),
+                cz.reshape(Xs + 1, -1).astype(jnp.int32),
+                jnp.concatenate(
+                    [cx.reshape(Xs, -1).astype(jnp.int32),
+                     jnp.zeros((1, Y * Z), jnp.int32)], axis=0),
+            ],
+            axis=1,
+        )  # (Xs+1, rowlen)
+
+        row_tot_local = jnp.sum(crow[:Xs], axis=1, dtype=jnp.int32)
 
         # --- global per-row offsets (distributed prefix scan) --------------
         row_tot_all = jax.lax.all_gather(
@@ -176,47 +221,26 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
         # out-of-grid halo row (last shard): no vertices, point past end
         off = jnp.where(grow > Xv - 1, total_v, off)
 
-        # --- vertex ids (global) -------------------------------------------
-        idy = off[:, None, None] + _row_ids(cy)  # (Xs+1, Y-1, Z)
-        idz = (off + ny)[:, None, None] + _row_ids(cz)
-        idx = (off[:Xs] + ny[:Xs] + nz[:Xs])[:, None, None] + _row_ids(cx)
+        # global ids for every local edge slot (owned + halo-row y/z)
+        ids_full = (off[:, None] + _row_ids(crow)).reshape(-1)
 
-        # --- scatter owned vertices into the per-shard buffer ---------------
         vbase = off[0]
         vcount = row_off[jnp.minimum((s + 1) * Xs, Xv - 1)] - vbase
         vcount = jnp.where((s + 1) * Xs > Xv - 1, total_v - vbase, vcount)
 
         gx0 = (s * Xs).astype(jnp.float32)
 
-        def rowcat(ay, az, ax):
-            return jnp.concatenate(
-                [
-                    ay.reshape(Xs, -1),
-                    az.reshape(Xs, -1),
-                    ax.reshape(Xs, -1),
-                ],
-                axis=1,
-            ).reshape(-1)
-
-        # Owned vertices in local-id order: per row, the y-block then
-        # z-block then x-block (matching the global numbering). Select the
-        # first vert_cap crossing-edge indices (two-level unit compaction,
-        # no scatters), DECODE each flat row-major edge index back to its
-        # two grid endpoints, and gather just those 2*cap density values —
-        # materializing the three grid-scale position arrays instead (the
-        # r1-r3 formulation) costs 3 x E x f32 (plus AD copies), and XLA's
-        # layout pass liked to write them as a (E, 3) fusion whose TPU
+        # Owned vertices in local-id order. Select the first vert_cap
+        # crossing-edge indices (exact popcount-prefix selection), DECODE
+        # each flat row-major edge index back to its two grid endpoints,
+        # and gather just those 2*cap density values — materializing
+        # grid-scale position arrays instead costs 3 x E x f32 whose TPU
         # minor-dim padding (3 -> 128) exploded 600 MB into 25 GB at
-        # 256^3 x 1 shard. Gradients flow through the d0/d1 gathers (their
-        # transpose is a 2*cap scatter) and the halo ppermute as before.
-        mask_flat = rowcat(cy[:Xs], cz[:Xs], cx).astype(jnp.int32)
-        vu = vert_units or _default_unit_capacity(
-            vert_cap_per_shard, mask_flat.shape[0]
-        )
-        src, _ = _twolevel_src(mask_flat, vert_cap_per_shard, vu)
-        rowlen = (Y - 1) * Z + Y * (Z - 1) + Y * Z
-        nyr = (Y - 1) * Z
-        nzr = Y * (Z - 1)
+        # 256^3 x 1 shard (round-2 lesson). Gradients flow through the
+        # d0/d1 gathers and the halo ppermute.
+        mask_flat = crow[:Xs].reshape(-1)
+        del vert_units  # selection is exact since round 5; no unit budget
+        src, _ = _twolevel_src(mask_flat, vert_cap_per_shard, 0)
         i = src // rowlen
         r = src % rowlen
         is_y = r < nyr
@@ -228,9 +252,9 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
         k = jnp.where(is_y, r % Z, jnp.where(is_z, rz % (Z - 1), rx % Z))
         gf = g.reshape(-1)
         base = (i * Y + j) * Z + k
-        off = jnp.where(is_y, Z, jnp.where(is_z, 1, Y * Z))
+        step = jnp.where(is_y, Z, jnp.where(is_z, 1, Y * Z))
         d0 = gf[base]
-        d1 = gf[base + off]  # x-edges read the halo row at i == Xs - 1
+        d1 = gf[base + step]  # x-edges read the halo row at i == Xs - 1
         den = d1 - d0
         dt = jnp.clip(
             (thresh - d0) / jnp.where(den == 0, 1.0, den), 0.0, 1.0)
@@ -246,16 +270,20 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
         # cube rows 0..Xs-1 (global rows s*Xs .. s*Xs+Xs-1; cubes exist for
         # global rows < X-1 — the trailing rows on the last shard produce
         # mask 0 automatically because halo == last row there)
-        m = (
-            occ_i[:-1, :-1, :-1] * 1
-            + occ_i[1:, :-1, :-1] * 2
-            + occ_i[1:, 1:, :-1] * 4
-            + occ_i[:-1, 1:, :-1] * 8
-            + occ_i[:-1, :-1, 1:] * 16
-            + occ_i[1:, :-1, 1:] * 32
-            + occ_i[1:, 1:, 1:] * 64
-            + occ_i[:-1, 1:, 1:] * 128
-        )  # (Xs, Y-1, Z-1)
+        if cmask is None:
+            occ_i = (g > thresh).astype(jnp.int32)
+            m = (
+                occ_i[:-1, :-1, :-1] * 1
+                + occ_i[1:, :-1, :-1] * 2
+                + occ_i[1:, 1:, :-1] * 4
+                + occ_i[:-1, 1:, :-1] * 8
+                + occ_i[:-1, :-1, 1:] * 16
+                + occ_i[1:, :-1, 1:] * 32
+                + occ_i[1:, 1:, 1:] * 64
+                + occ_i[:-1, 1:, 1:] * 128
+            )  # (Xs, Y-1, Z-1)
+        else:
+            m = cmask
         # mask out cubes whose +x row is outside the true grid (x-padding
         # replicas would otherwise emit duplicate geometry via y/z mixing)
         cube_valid = (grow[:Xs] < Xv - 1)[:, None, None]
@@ -275,14 +303,12 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
         )
 
         # active-cube face emission over the shard's local slot range (same
-        # two-level scheme as ops/marching_cubes: compact active cubes, then
+        # exact selection as ops/marching_cubes: compact active cubes, then
         # search only the compacted cumulative ranges)
         ntris_f = ntris.reshape(-1)
         amask = (ntris_f > 0).astype(jnp.int32)
-        cu = cube_units or _default_unit_capacity(
-            face_cap_per_shard, ntris_f.shape[0]
-        )
-        asrc, _ = _twolevel_src(amask, face_cap_per_shard, cu)
+        del cube_units  # selection is exact since round 5; no unit budget
+        asrc, _ = _twolevel_src(amask, face_cap_per_shard, 0)
         n_active = jnp.sum(amask, dtype=jnp.int32)
         valid_a = jnp.arange(face_cap_per_shard, dtype=jnp.int32) < n_active
         ntris_a = jnp.where(valid_a, ntris_f[asrc], 0)
@@ -297,10 +323,8 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
         kk = (s_q - 1) - base_a[apos]
         valid_f = s_q <= fcount
         # bit-packed per-triangle edge info + computed flat indices into the
-        # global-id arrays — same gather-thrift face path as single-chip
-        # (see ops/marching_cubes._mc_padded_impl / mc_tables.PACKED_TRI);
-        # local id-array layouts: idx (Xs, Y, Z), idy (Xs+1, Y-1, Z),
-        # idz (Xs+1, Y, Z-1), cube grid (Xs, Y-1, Z-1)
+        # UNIFIED row-major id array (one gather per face column instead of
+        # round-4's three per-axis gathers + select)
         CY, CZ = Y - 1, Z - 1
         ci = cube // (CY * CZ)
         cj = (cube // CZ) % CY
@@ -309,12 +333,6 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
             mask.reshape(-1)[cube] * T.MAX_TRIS_PER_CUBE
             + jnp.clip(kk, 0, T.MAX_TRIS_PER_CUBE - 1)
         ]
-        idxf = idx.reshape(-1)
-        idyf = idy.reshape(-1)
-        idzf = idz.reshape(-1)
-        base_x = (ci * Y + cj) * Z + ck
-        base_y = (ci * (Y - 1) + cj) * Z + ck
-        base_z = (ci * Y + cj) * (Z - 1) + ck
         fcols = []
         for j in range(3):
             info = (pk >> (5 * j)) & 31
@@ -322,16 +340,25 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
             ox = (info >> 2) & 1
             oy = (info >> 1) & 1
             oz = info & 1
-            fx = base_x + oy * Z + oz
-            fy = base_y + ox * ((Y - 1) * Z) + oz
-            fz = base_z + ox * (Y * (Z - 1)) + oy * (Z - 1)
-            vx = idxf[jnp.where(ax == 0, fx, 0)]
-            vy = idyf[jnp.where(ax == 1, fy, 0)]
-            vz = idzf[jnp.where(ax == 2, fz, 0)]
-            vid = jnp.where(ax == 0, vx, jnp.where(ax == 1, vy, vz))
-            fcols.append(jnp.where(valid_f, vid, 0))
+            # flat positions in the per-row [y | z | x] edge layout
+            fy = (ci + ox) * rowlen + cj * Z + (ck + oz)
+            fz = (ci + ox) * rowlen + nyr + (cj + oy) * (Z - 1) + ck
+            fx = ci * rowlen + nyr + nzr + (cj + oy) * Z + (ck + oz)
+            gidx = jnp.where(
+                ax == 0, fx, jnp.where(ax == 1, fy, fz))
+            fcols.append(jnp.where(valid_f, ids_full[gidx], 0))
         faces = jnp.stack(fcols, axis=-1)
 
+        # Device-side overflow assert (opt-in via core.debug.checks): a shard
+        # whose surface exceeds its per-shard capacity silently truncates the
+        # padded buffers; callers either gate on ShardedMCResult.overflowed
+        # or trace under debug.checked to fail loudly (round-5 advisor fix).
+        debug.check(
+            (vcount <= vert_cap_per_shard) & (fcount <= face_cap_per_shard),
+            "mc_shard_body: per-shard capacity overflow "
+            "(shard counted {v} verts / {f} faces)",
+            v=vcount, f=fcount,
+        )
         return (
             verts,
             faces,

@@ -72,7 +72,7 @@ def sharded_sdf_fitting_loss(
     cube_units: int = 0,
     mxu_max_tris=None,
     mxu_stream_max_tris=None,
-    backend: str = "pallas",  # accepted for API compat; pallas-only path
+    backend: str = "pallas",  # the only sharded cast path (validated below)
     active_capacity: int = 0,  # unused (per-shard budgets are derived)
     chunk: int = 512,  # unused in the sharded composition
 ):
@@ -82,12 +82,25 @@ def sharded_sdf_fitting_loss(
     (same mean over the full ray batch; same plane-hold-fixed gradients),
     with the capacities interpreted GLOBALLY: each shard gets a
     ``capacity / S`` slice (callers should keep capacities divisible by
-    ``S * 128``). The ray count must divide the axis size.
+    ``S * 128``). NOTE the sharding caveat: capacities must bound the WORST
+    shard's load times S, not just the global total — a surface concentrated
+    in a few x-slabs can overflow those shards' slices while the global
+    counts fit. Per-shard counts are asserted against the per-shard caps
+    device-side when traced under :func:`core.debug.checks`
+    (``debug.checked``); outside a debug scope an overflowing shard
+    truncates silently (same contract as ``MCResult.overflowed``, which the
+    scalar-loss API here cannot additionally return). The ray count must
+    divide the axis size.
 
     Differentiable wrt ``density``; the gradient comes back replicated
     (XLA all-reduces the per-shard contributions of the replicated
     cluster-build stage and reduce-scatters the gathered-mesh stages).
     """
+    if backend != "pallas":
+        raise ValueError(
+            "sharded_sdf_fitting_loss only implements the pallas cast path; "
+            f"got backend={backend!r} (use pipeline.sdf_fitting_loss for "
+            "other backends)")
     S = mesh.shape[axis_name]
     R = origins.shape[0]
     X = density.shape[0]

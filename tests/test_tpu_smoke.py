@@ -10,6 +10,8 @@ COMPILED on the real device once per round:
 Skipped automatically when the session platform is not a TPU. Shapes are kept
 small so compiles stay in the tens of seconds through the remote tunnel.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -114,11 +116,36 @@ class TestMosaicKernels:
         _require_tpu()
         import primitive3d_tpu as p3d
 
-        grid = jnp.asarray(np.load("/root/reference/examples/data/bunny.npy"))
+        grid = jnp.asarray(np.load(os.path.join(
+            os.path.dirname(__file__), "..", "examples", "data",
+            "bunny.npy")))
         v, f = p3d.marching_cubes(grid, 0.0)
         g = np.load("tests/goldens/bunny_mc.npz")
         assert v.shape[0] == g["v"].shape[0]
         assert f.shape[0] == g["f"].shape[0]
+
+
+def test_grad_parity_stream_vs_resident_on_chip(scene):
+    """Compiled (Mosaic) gradient parity: streaming-tier work-list backward
+    vs the resident tier's exact f32 scatter-add. The interpret-mode twin in
+    test_raycast.py cannot catch MXU precision loss — this is the hardware
+    check for the round-5 fix pinning the plane-cotangent dot to
+    Precision.HIGHEST (f32 operands at DEFAULT run one bf16 pass)."""
+    from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_diff
+
+    tris, o, d, _ = scene
+    T = tris.shape[0]
+
+    def loss(ts, cap):
+        dep, _ = cast_clusters_diff(
+            ts, o, d, max_dist=10.0, interpret=False, mxu_max_tris=cap)
+        return jnp.sum(dep * dep)
+
+    g_ws = jax.jit(jax.grad(lambda ts: loss(ts, 64)))(tris)
+    g_ref = jax.jit(jax.grad(lambda ts: loss(ts, T + 1)))(tris)
+    np.testing.assert_allclose(
+        np.asarray(g_ws), np.asarray(g_ref), rtol=1e-4, atol=2e-5)
+    assert float(jnp.sum(jnp.abs(g_ws))) > 0
 
 
 def test_mc_512_grid_smoke():
