@@ -34,6 +34,10 @@ class RayCastConfig:
     mxu_stream_max_tris: Optional[int] = None  # HBM-streamed tier;
     # None = 32767 * cluster_size (the work-word id limit): 4.2M tris
     # at S=128, 8.4M at S=256 (384 B/tri of HBM either way)
+    # opt-in watertight shared-edge handling: exactly-zero Plücker side
+    # products (ray through a shared edge) count as agreeing with any
+    # sign instead of as +0/-0 signs (see raycast.py module docstring)
+    edge_wildcard: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -371,7 +371,7 @@ NCH = MBLOCK // RCHUNK
 
 def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, *rest,
                        cluster_size, max_dist, rchunk=RCHUNK, nch=NCH,
-                       with_fin=False):
+                       with_fin=False, edge_wildcard=False):
     """HBM-streaming tier of the MXU cluster caster.
 
     Work list is one word per flagged cluster — ``(c << 16) | chunk_mask``
@@ -444,7 +444,28 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, *rest,
         b1 = jax.lax.bitcast_convert_type(s1, jnp.int32)
         b2 = jax.lax.bitcast_convert_type(s2, jnp.int32)
         b3 = jax.lax.bitcast_convert_type(num, jnp.int32)
-        ok = ((b0 ^ b1) | (b0 ^ b2) | (b0 ^ b3)) >= 0
+        if edge_wildcard:
+            # opt-in watertight mode: an exactly-zero product (ray through
+            # a shared edge / origin on the plane) agrees with ANY sign —
+            # only nonzero products with differing signs reject. Padding
+            # triangles (all zero) still pass and lose as NaN in the
+            # packed min (num = den = 0 -> t = NaN).
+            M = jnp.int32(0x7FFFFFFF)
+            nz0 = (b0 & M) != 0
+            nz1 = (b1 & M) != 0
+            nz2 = (b2 & M) != 0
+            nz3 = (b3 & M) != 0
+            bad = (
+                (((b0 ^ b1) < 0) & nz0 & nz1)
+                | (((b0 ^ b2) < 0) & nz0 & nz2)
+                | (((b0 ^ b3) < 0) & nz0 & nz3)
+                | (((b1 ^ b2) < 0) & nz1 & nz2)
+                | (((b1 ^ b3) < 0) & nz1 & nz3)
+                | (((b2 ^ b3) < 0) & nz2 & nz3)
+            )
+            ok = jnp.logical_not(bad)
+        else:
+            ok = ((b0 ^ b1) | (b0 ^ b2) | (b0 ^ b3)) >= 0
         den = (s0 + s1) + s2
         rd = pl.reciprocal(den, approx=True)
         rd = rd * (2.0 - den * rd)
@@ -480,25 +501,34 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, *rest,
             finst = jnp.where((rows_chunk == r) & upd_lane, ftile, finst)
         return best, bidx, finst
 
+    # Prefetch pipeline depth: per-entry compute is tiny (1-2 matmuls), so
+    # a 2-slot double buffer left every entry stalled on its DMA wait —
+    # measured ~0.85 us of fixed cost per entry at bunny-x64 scale, 11 of
+    # the 13 ms cast. Four slots with up to 3 outstanding fetches break the
+    # serial wait -> process -> start chain (round-5 stream-tier fix).
+    NSLOTS = 4
+
     def start_fetch(e):
         cn = entries_ref[0, 0, e] >> 16
+        slot = e & (NSLOTS - 1)
         pltpu.make_async_copy(
-            w2_ref.at[cn], w2s_ref.at[e & 1], sem_w2.at[e & 1]
+            w2_ref.at[cn], w2s_ref.at[slot], sem_w2.at[slot]
         ).start()
         if with_fin:
             pltpu.make_async_copy(
-                fin_hbm_ref.at[cn], fins_ref.at[e & 1], sem_fin.at[e & 1]
+                fin_hbm_ref.at[cn], fins_ref.at[slot], sem_fin.at[slot]
             ).start()
 
-    @pl.when(n > 0)
-    def _():
-        start_fetch(0)
+    for pre in range(NSLOTS - 1):
+        @pl.when(pre < n)
+        def _(pre=pre):
+            start_fetch(pre)
 
     def body(st):
         e, conv, best, bidx, finst = st
         word = entries_ref[0, 0, e]
         c = word >> 16
-        slot = e & 1
+        slot = e & (NSLOTS - 1)
 
         def refresh(_):
             bnd = bounds_ref[0, 0, e]
@@ -513,10 +543,6 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, *rest,
             (e & 3) == 0, refresh, lambda _: conv, None
         )
         mask = word & jnp.int32(0xFFFF) & ~conv
-
-        @pl.when(e + 1 < n)
-        def _():
-            start_fetch(e + 1)
 
         pltpu.make_async_copy(
             w2_ref.at[c], w2s_ref.at[slot], sem_w2.at[slot]
@@ -537,6 +563,14 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, *rest,
                 (mask >> r) & 1 != 0, do, lambda cr: cr,
                 (best, bidx, finst)
             )
+
+        # slot freed: refill it with entry e + NSLOTS - 1 (keeps up to
+        # NSLOTS - 1 fetches outstanding while e + 1 .. e + NSLOTS - 2 are
+        # already in flight)
+        @pl.when(e + NSLOTS - 1 < n)
+        def _():
+            start_fetch(e + NSLOTS - 1)
+
         return e + 1, conv, best, bidx, finst
 
     def cond(st):
@@ -546,18 +580,20 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, *rest,
         cond, body, (jnp.int32(0), jnp.int32(0), best0, idx0, fin0)
     )
 
-    # early convergence exit leaves entry ef's prefetch in flight — drain it
-    # so the scratch DMA semaphore is clean at kernel end
-    @pl.when(ef < n)
-    def _():
-        cn = entries_ref[0, 0, ef] >> 16
-        pltpu.make_async_copy(
-            w2_ref.at[cn], w2s_ref.at[ef & 1], sem_w2.at[ef & 1]
-        ).wait()
-        if with_fin:
+    # early convergence exit leaves up to NSLOTS - 1 prefetches in flight —
+    # drain them so the scratch DMA semaphores are clean at kernel end
+    for df in range(NSLOTS - 1):
+        @pl.when(ef + df < n)
+        def _(df=df):
+            cn = entries_ref[0, 0, ef + df] >> 16
+            slot = (ef + df) & (NSLOTS - 1)
             pltpu.make_async_copy(
-                fin_hbm_ref.at[cn], fins_ref.at[ef & 1], sem_fin.at[ef & 1]
+                w2_ref.at[cn], w2s_ref.at[slot], sem_w2.at[slot]
             ).wait()
+            if with_fin:
+                pltpu.make_async_copy(
+                    fin_hbm_ref.at[cn], fins_ref.at[slot], sem_fin.at[slot]
+                ).wait()
 
     depth_ref[0] = best
     idx_ref[0] = bidx
@@ -566,7 +602,8 @@ def _kernel_mxu_stream(n_ref, entries_ref, bounds_ref, w2_ref, *rest,
 
 
 def _kernel_mxu(n_ref, pairs_ref, w2_ref, *rest, cluster_size, max_dist,
-                rchunk=RCHUNK, nch=NCH, with_fin=False):
+                rchunk=RCHUNK, nch=NCH, with_fin=False,
+                edge_wildcard=False):
     """MXU cluster caster: one K=48 matmul per (cluster, 256-ray chunk).
 
     Layout rule: rays live in the LANE dimension everywhere — per-ray state
@@ -670,7 +707,28 @@ def _kernel_mxu(n_ref, pairs_ref, w2_ref, *rest, cluster_size, max_dist,
         b1 = jax.lax.bitcast_convert_type(s1, jnp.int32)
         b2 = jax.lax.bitcast_convert_type(s2, jnp.int32)
         b3 = jax.lax.bitcast_convert_type(num, jnp.int32)
-        ok = ((b0 ^ b1) | (b0 ^ b2) | (b0 ^ b3)) >= 0
+        if edge_wildcard:
+            # opt-in watertight mode: an exactly-zero product (ray through
+            # a shared edge / origin on the plane) agrees with ANY sign —
+            # only nonzero products with differing signs reject. Padding
+            # triangles (all zero) still pass and lose as NaN in the
+            # packed min (num = den = 0 -> t = NaN).
+            M = jnp.int32(0x7FFFFFFF)
+            nz0 = (b0 & M) != 0
+            nz1 = (b1 & M) != 0
+            nz2 = (b2 & M) != 0
+            nz3 = (b3 & M) != 0
+            bad = (
+                (((b0 ^ b1) < 0) & nz0 & nz1)
+                | (((b0 ^ b2) < 0) & nz0 & nz2)
+                | (((b0 ^ b3) < 0) & nz0 & nz3)
+                | (((b1 ^ b2) < 0) & nz1 & nz2)
+                | (((b1 ^ b3) < 0) & nz1 & nz3)
+                | (((b2 ^ b3) < 0) & nz2 & nz3)
+            )
+            ok = jnp.logical_not(bad)
+        else:
+            ok = ((b0 ^ b1) | (b0 ^ b2) | (b0 ^ b3)) >= 0
         # exact Plücker identity (see MxuClusterBVH): the three unnormalized
         # side products sum to rd.N
         den = (s0 + s1) + s2
@@ -885,7 +943,8 @@ def _mxu_prep(bvh, o: Array, d: Array, max_dist: float, stream: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_dist", "interpret", "stream", "rchunk", "with_fin"),
+    static_argnames=("max_dist", "interpret", "stream", "rchunk",
+                     "with_fin", "edge_wildcard"),
 )
 def cast_clusters_mxu(
     bvh,
@@ -896,6 +955,7 @@ def cast_clusters_mxu(
     stream: bool = False,
     rchunk: int = RCHUNK,
     with_fin: bool = False,
+    edge_wildcard: bool = False,
 ) -> Tuple[Array, ...]:
     """Closest hit via the MXU cluster kernel: (t, sorted-triangle index).
 
@@ -966,15 +1026,17 @@ def cast_clusters_mxu(
     if stream:
         csmem = pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
+        # 4 slots (matches NSLOTS in _kernel_mxu_stream): ~0.4 MB of w2
+        # scratch at S=256 buys 3 outstanding prefetches
         scratch = [
-            pltpu.VMEM((2, 48, 4 * bvh.cluster_size), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, 48, 4 * bvh.cluster_size), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((4,)),
         ]
         fin_ops = []
         if with_fin:
             scratch += [
-                pltpu.VMEM((2, 24, bvh.cluster_size), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((4, 24, bvh.cluster_size), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((4,)),
             ]
             fin_ops = [pl.BlockSpec(memory_space=pl.ANY)]  # fin in HBM
         grid_spec = pl.GridSpec(
@@ -993,7 +1055,7 @@ def cast_clusters_mxu(
         kernel = functools.partial(
             _kernel_mxu_stream, cluster_size=bvh.cluster_size,
             max_dist=float(max_dist), rchunk=rchunk, nch=nch,
-            with_fin=with_fin,
+            with_fin=with_fin, edge_wildcard=edge_wildcard,
         )
         operands = ([n, work, bounds, bvh.w2, bvh.fin, r2] if with_fin
                     else [n, work, bounds, bvh.w2, r2])
@@ -1022,7 +1084,7 @@ def cast_clusters_mxu(
         kernel = functools.partial(
             _kernel_mxu, cluster_size=bvh.cluster_size,
             max_dist=float(max_dist), rchunk=rchunk, nch=nch,
-            with_fin=with_fin,
+            with_fin=with_fin, edge_wildcard=edge_wildcard,
         )
 
     operands = ([n, work, bvh.w2, bvh.fin, r2] if with_fin

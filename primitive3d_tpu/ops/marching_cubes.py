@@ -177,6 +177,17 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
     packed = _pack_units(m2)  # (U, 4) int32 — one elementwise pass over E
     excl_u = _excl_cumsum_flat(ucnt)  # (U,) starting output slot per unit
     incl_u = excl_u + ucnt
+    # per-unit word-prefix byte triple: popcount prefixes of words 0..2
+    # (each <= 128, fits a byte) packed into ONE int32 so the per-slot word
+    # choice costs a single gathered word — TPU gathers run ~9-10 ns per
+    # gathered ELEMENT regardless of row width, so the decode is sized in
+    # gathers: 3 per slot (excl, prefix, chosen word), down from 5
+    pcw = jax.lax.population_count(packed)  # (U, 4)
+    p1 = pcw[:, 0]
+    p2 = p1 + pcw[:, 1]
+    p3 = p2 + pcw[:, 2]
+    pfx = p1 | (p2 << 8) | (p3 << 16)  # (U,)
+    packed_flat = packed.reshape(-1)
     q = jnp.arange(capacity, dtype=jnp.int32)
     # merge-sort searchsorted: unit owning output slot q (first unit whose
     # inclusive count exceeds q)
@@ -184,16 +195,12 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
         jnp.searchsorted(incl_u, q + 1, method="sort"), 0, U - 1
     )
     r = q - excl_u[unit]  # rank within the unit, 0..127 for valid slots
-    w = packed[unit]  # (capacity, 4) — 16-byte row gather per slot
-    # word level: prefix popcounts pick the word holding rank r
-    pc = jax.lax.population_count(w)
-    c1 = pc[:, 0]
-    c2 = c1 + pc[:, 1]
-    c3 = c2 + pc[:, 2]
+    pw = pfx[unit]
+    c1 = pw & 0xFF
+    c2 = (pw >> 8) & 0xFF
+    c3 = (pw >> 16) & 0xFF
     widx = ((r >= c1).astype(jnp.int32) + (r >= c2) + (r >= c3))
-    word = jnp.where(
-        widx == 0, w[:, 0],
-        jnp.where(widx == 1, w[:, 1], jnp.where(widx == 2, w[:, 2], w[:, 3])))
+    word = packed_flat[unit * 4 + widx]
     r = r - jnp.where(
         widx == 0, 0, jnp.where(widx == 1, c1, jnp.where(widx == 2, c2, c3)))
     # byte level within the 32-bit word
@@ -598,24 +605,29 @@ def _mc_padded_impl(
     # per slot encodes its 3 vertices' (axis, voxel-offset) — the id is then
     # a COMPUTED flat index into the per-axis scan-id arrays. Grid-sized
     # dynamic gathers run at ~9 ns/element on TPU regardless of table size,
-    # so this replaces the old 16-row TRI_TABLE gather + 12 edge-grid
-    # gathers per slot (~28 Fc-sized gathers) with 5 (one packed word, one
-    # cube mask, three per-axis ids) — measured 133 -> ~55 ms for the whole
-    # 256^3 flagship extraction.
+    # so per-slot gather count is the budget: the cube id and base-slot
+    # ride ONE packed word (cube * 8 | base mod 8 — k < 8, so the mod-8
+    # residue reconstructs k exactly), and the cube mask is pre-gathered
+    # once at active-cube granularity instead of per slot from the 16M
+    # grid: 3 gathers per face column's prep (packed word, mask, table)
+    # plus the 3 id gathers below.
+    mask_a = jnp.where(valid_a, mask[asrc], 0)  # (Ac,)
+    packA = asrc * 8 + (base_a & 7)  # asrc*8 < 2^31 up to 511^3 cubes
     s_q = jnp.arange(1, face_capacity + 1, dtype=incl_a.dtype)
     # method='sort' merges queries+array in one parallel sort — far cheaper
     # on TPU than the default binary-search scan
     apos = jnp.clip(
         jnp.searchsorted(incl_a, s_q, method="sort"), 0, incl_a.shape[0] - 1
     )
-    cube = asrc[apos]
-    k = (s_q - 1) - base_a[apos]  # 0..4 within the cube
+    w1 = packA[apos]
+    cube = w1 >> 3
+    k = ((s_q - 1) - w1) & 7  # == s - 1 - base (mod 8) == k for k in [0,8)
     valid_f = s_q <= num_faces
     CY, CZ = Y - 1, Z - 1
     ci = cube // (CY * CZ)
     cj = (cube // CZ) % CY
     ck = cube % CZ
-    pk = _PACKED_TRI_FLAT[mask[cube] * T.MAX_TRIS_PER_CUBE
+    pk = _PACKED_TRI_FLAT[mask_a[apos] * T.MAX_TRIS_PER_CUBE
                           + jnp.clip(k, 0, T.MAX_TRIS_PER_CUBE - 1)]
     base_x = (ci * Y + cj) * Z + ck  # x-edge block: (X-1, Y, Z)
     base_y = (ci * (Y - 1) + cj) * Z + ck  # y-edge block: (X, Y-1, Z)
@@ -709,18 +721,23 @@ def _mc_soup_impl(
     base_a = _excl_cumsum_flat(ntris_a)
     incl_a = base_a + ntris_a
 
+    # same gather-thrift slot decode as _mc_padded_impl: packed cube|base
+    # word + active-granularity mask gather (3 aux gathers per slot)
+    mask_a = jnp.where(valid_a, mask[asrc], 0)  # (Ac,)
+    packA = asrc * 8 + (base_a & 7)
     s_q = jnp.arange(1, face_capacity + 1, dtype=incl_a.dtype)
     apos = jnp.clip(
         jnp.searchsorted(incl_a, s_q, method="sort"), 0, incl_a.shape[0] - 1
     )
-    cube = asrc[apos]
-    k = (s_q - 1) - base_a[apos]
+    w1 = packA[apos]
+    cube = w1 >> 3
+    k = ((s_q - 1) - w1) & 7
     valid_f = s_q <= num_faces
     CY, CZ = Y - 1, Z - 1
     ci = cube // (CY * CZ)
     cj = (cube // CZ) % CY
     ck = cube % CZ
-    pk = _PACKED_TRI_FLAT[mask[cube] * T.MAX_TRIS_PER_CUBE
+    pk = _PACKED_TRI_FLAT[mask_a[apos] * T.MAX_TRIS_PER_CUBE
                           + jnp.clip(k, 0, T.MAX_TRIS_PER_CUBE - 1)]
     dflat = density.reshape(-1)
     corners = []

@@ -20,13 +20,16 @@ API differences from the reference, by design:
     unwritten on miss (device_programs.cu:43-45), which we fix.
   * Hits at t >= max_dist are misses (parity with mint init, bvh.cu:155).
 
-Watertightness caveat (pallas backend): the cluster kernel's sign-bit
-agreement test treats an exactly-zero Plücker side product (a ray passing
-exactly through a shared triangle edge, measure-zero in f32) as sign(+0) =
-positive / sign(-0) = negative rather than as a wildcard, so such a ray can
-miss both adjacent triangles. Grid-aligned rays against marching-cubes
-meshes are the one realistic way to produce exact zeros; perturb such rays
-or use the "mxu"/"bruteforce" backends if that edge case matters.
+Watertightness caveat (pallas backend): by default the cluster kernel's
+sign-bit agreement test treats an exactly-zero Plücker side product (a ray
+passing exactly through a shared triangle edge, measure-zero in f32) as
+sign(+0) = positive / sign(-0) = negative rather than as a wildcard, so
+such a ray can miss both adjacent triangles. Grid-aligned rays against
+marching-cubes meshes are the one realistic way to produce exact zeros;
+opt in to ``edge_wildcard=True`` (constructor or RayCastConfig) to treat
+exact zeros as agreeing with any sign — watertight through shared edges
+for a few extra vector ops per cluster visit — or use the
+"mxu"/"bruteforce" backends.
 """
 from __future__ import annotations
 
@@ -258,10 +261,11 @@ class PallasRayCaster(RayCaster):
 
     def __init__(self, vertices, faces, max_dist=DEFAULT_MAX_DIST,
                  mxu_max_tris=None, mxu_stream_max_tris=None,
-                 cluster_size=None):
+                 cluster_size=None, edge_wildcard=False):
         super().__init__(vertices, faces, max_dist)
         from .bvh.clusters import CLUSTER_SIZE, build_clusters, build_mxu_clusters
 
+        self.edge_wildcard = bool(edge_wildcard)
         cap = self.MXU_MAX_TRIS if mxu_max_tris is None else mxu_max_tris
         if cluster_size is None:
             # fatter clusters amortize the stream tier's per-entry fixed
@@ -293,6 +297,7 @@ class PallasRayCaster(RayCaster):
             depth, sidx, finr = cast_clusters_mxu(
                 self.cbvh, o, d, max_dist=self.max_dist,
                 interpret=interpret, stream=self.mxu_stream, with_fin=True,
+                edge_wildcard=self.edge_wildcard,
             )
             return _finish_hits_fin(
                 finr, depth, sidx, o, d, max_dist=self.max_dist
@@ -359,6 +364,7 @@ def create_raycaster(
             mxu_max_tris=cfg.mxu_max_tris,
             mxu_stream_max_tris=cfg.mxu_stream_max_tris,
             cluster_size=cfg.cluster_size,
+            edge_wildcard=cfg.edge_wildcard,
         )
     if backend == "bruteforce":
         return BruteForceRayCaster(vertices, faces, max_dist)

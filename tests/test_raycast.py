@@ -580,6 +580,69 @@ class TestDiffCastBackward:
         assert float(jnp.sum(jnp.abs(g_ws))) > 0
 
 
+class TestEdgeWildcard:
+    """A ray exactly through a shared triangle edge produces exactly-zero
+    Plücker side products. Default sign-bit agreement misses both adjacent
+    triangles (documented caveat); edge_wildcard=True treats exact zeros
+    as agreeing with any sign and hits. Grid-aligned cameras against MC
+    meshes are the realistic trigger."""
+
+    # unit quad split along the v0-v2 diagonal under several windings: the
+    # default crack depends on whether the exact-zero product rounds to +0
+    # or -0 (accumulation-order dependent), but the wildcard guarantee must
+    # hold for ALL of them. Dyadic coordinates keep the double-bf16
+    # products exact.
+    WINDINGS = [
+        [[0, 1, 2], [0, 2, 3]],
+        [[2, 1, 0], [3, 2, 0]],
+        [[0, 1, 2], [3, 2, 0]],
+        [[2, 1, 0], [0, 2, 3]],
+    ]
+
+    def _quad(self, f):
+        v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                     np.float32)
+        tris = jnp.asarray(v[np.asarray(f, np.int32)])
+        # through the diagonal's midpoint — ON the shared edge
+        o = jnp.asarray([[0.5, 0.5, -1.0]], jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        return tris, o, d
+
+    @pytest.mark.parametrize("stream", [False, True])
+    @pytest.mark.parametrize("winding", range(4))
+    def test_wildcard_hits_shared_edge(self, stream, winding):
+        from primitive3d_tpu.bvh.clusters import build_mxu_clusters
+        from primitive3d_tpu.kernels.raycast_kernel import cast_clusters_mxu
+
+        tris, o, d = self._quad(self.WINDINGS[winding])
+        bvh = build_mxu_clusters(tris)
+        depth, sidx = cast_clusters_mxu(
+            bvh, o, d, interpret=True, stream=stream, edge_wildcard=True)
+        assert int(sidx[0]) >= 0
+        np.testing.assert_allclose(float(depth[0]), 1.0, rtol=1e-5)
+
+    def test_wildcard_caster_parity_on_generic_rays(self):
+        """edge_wildcard must not change results for generic rays."""
+        from primitive3d_tpu.raycast import create_raycaster
+        from primitive3d_tpu.core.config import RayCastConfig
+
+        v, f = icosphere(2)
+        rng = np.random.default_rng(11)
+        o = (rng.standard_normal((512, 3)) * 2).astype(np.float32)
+        d = rng.standard_normal((512, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        rc0 = create_raycaster(v, f, backend="pallas")
+        rc1 = create_raycaster(
+            v, f, backend="pallas",
+            config=RayCastConfig(edge_wildcard=True))
+        h0 = rc0.cast(o, d)
+        h1 = rc1.cast(o, d)
+        np.testing.assert_array_equal(
+            np.asarray(h0.face_id), np.asarray(h1.face_id))
+        np.testing.assert_allclose(
+            np.asarray(h0.depth), np.asarray(h1.depth), rtol=1e-6)
+
+
 class TestAutoClusterSize:
     def test_small_mesh_keeps_128(self):
         from primitive3d_tpu.raycast import PallasRayCaster
