@@ -177,30 +177,29 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
     packed = _pack_units(m2)  # (U, 4) int32 — one elementwise pass over E
     excl_u = _excl_cumsum_flat(ucnt)  # (U,) starting output slot per unit
     incl_u = excl_u + ucnt
-    # per-unit word-prefix byte triple: popcount prefixes of words 0..2
-    # (each <= 128, fits a byte) packed into ONE int32 so the per-slot word
-    # choice costs a single gathered word — TPU gathers run ~9-10 ns per
-    # gathered ELEMENT regardless of row width, so the decode is sized in
-    # gathers: 3 per slot (excl, prefix, chosen word), down from 5
-    pcw = jax.lax.population_count(packed)  # (U, 4)
-    p1 = pcw[:, 0]
-    p2 = p1 + pcw[:, 1]
-    p3 = p2 + pcw[:, 2]
-    pfx = p1 | (p2 << 8) | (p3 << 16)  # (U,)
-    packed_flat = packed.reshape(-1)
     q = jnp.arange(capacity, dtype=jnp.int32)
     # merge-sort searchsorted: unit owning output slot q (first unit whose
     # inclusive count exceeds q)
     unit = jnp.clip(
         jnp.searchsorted(incl_u, q + 1, method="sort"), 0, U - 1
     )
-    r = q - excl_u[unit]  # rank within the unit, 0..127 for valid slots
-    pw = pfx[unit]
-    c1 = pw & 0xFF
-    c2 = (pw >> 8) & 0xFF
-    c3 = (pw >> 16) & 0xFF
+    # ONE row gather per slot: a (capacity, 5) row gather costs about the
+    # same as a single-element gather per row on TPU — a round-5 probe that
+    # split the row into per-word computed-index gathers (plus a packed
+    # popcount-prefix byte) measured 50% SLOWER (18.4 vs 12.1 ms at
+    # flagship scale); gather OPS are the budget, not gathered elements.
+    # The unit's exclusive offset rides the same row as its 4 words.
+    row = jnp.concatenate([excl_u[:, None], packed], axis=1)[unit]
+    r = q - row[:, 0]  # rank within the unit, 0..127 for valid slots
+    w = row[:, 1:5]  # (capacity, 4)
+    pc = jax.lax.population_count(w)
+    c1 = pc[:, 0]
+    c2 = c1 + pc[:, 1]
+    c3 = c2 + pc[:, 2]
     widx = ((r >= c1).astype(jnp.int32) + (r >= c2) + (r >= c3))
-    word = packed_flat[unit * 4 + widx]
+    word = jnp.where(
+        widx == 0, w[:, 0],
+        jnp.where(widx == 1, w[:, 1], jnp.where(widx == 2, w[:, 2], w[:, 3])))
     r = r - jnp.where(
         widx == 0, 0, jnp.where(widx == 1, c1, jnp.where(widx == 2, c2, c3)))
     # byte level within the 32-bit word
@@ -613,13 +612,17 @@ def _mc_padded_impl(
     # plus the 3 id gathers below.
     mask_a = jnp.where(valid_a, mask[asrc], 0)  # (Ac,)
     packA = asrc * 8 + (base_a & 7)  # asrc*8 < 2^31 up to 511^3 cubes
+    # ONE row gather per slot (rows are near-free; ops are the budget):
+    # [packed cube|base word, cube mask] ride together
+    rowA = jnp.stack([packA, mask_a], axis=1)  # (Ac, 2)
     s_q = jnp.arange(1, face_capacity + 1, dtype=incl_a.dtype)
     # method='sort' merges queries+array in one parallel sort — far cheaper
     # on TPU than the default binary-search scan
     apos = jnp.clip(
         jnp.searchsorted(incl_a, s_q, method="sort"), 0, incl_a.shape[0] - 1
     )
-    w1 = packA[apos]
+    rw = rowA[apos]  # (Fc, 2)
+    w1 = rw[:, 0]
     cube = w1 >> 3
     k = ((s_q - 1) - w1) & 7  # == s - 1 - base (mod 8) == k for k in [0,8)
     valid_f = s_q <= num_faces
@@ -627,7 +630,7 @@ def _mc_padded_impl(
     ci = cube // (CY * CZ)
     cj = (cube // CZ) % CY
     ck = cube % CZ
-    pk = _PACKED_TRI_FLAT[mask_a[apos] * T.MAX_TRIS_PER_CUBE
+    pk = _PACKED_TRI_FLAT[rw[:, 1] * T.MAX_TRIS_PER_CUBE
                           + jnp.clip(k, 0, T.MAX_TRIS_PER_CUBE - 1)]
     base_x = (ci * Y + cj) * Z + ck  # x-edge block: (X-1, Y, Z)
     base_y = (ci * (Y - 1) + cj) * Z + ck  # y-edge block: (X, Y-1, Z)
@@ -721,15 +724,17 @@ def _mc_soup_impl(
     base_a = _excl_cumsum_flat(ntris_a)
     incl_a = base_a + ntris_a
 
-    # same gather-thrift slot decode as _mc_padded_impl: packed cube|base
-    # word + active-granularity mask gather (3 aux gathers per slot)
+    # same gather-thrift slot decode as _mc_padded_impl: the packed
+    # cube|base word and cube mask ride one row gather per slot
     mask_a = jnp.where(valid_a, mask[asrc], 0)  # (Ac,)
     packA = asrc * 8 + (base_a & 7)
+    rowA = jnp.stack([packA, mask_a], axis=1)  # (Ac, 2)
     s_q = jnp.arange(1, face_capacity + 1, dtype=incl_a.dtype)
     apos = jnp.clip(
         jnp.searchsorted(incl_a, s_q, method="sort"), 0, incl_a.shape[0] - 1
     )
-    w1 = packA[apos]
+    rw = rowA[apos]
+    w1 = rw[:, 0]
     cube = w1 >> 3
     k = ((s_q - 1) - w1) & 7
     valid_f = s_q <= num_faces
@@ -737,7 +742,7 @@ def _mc_soup_impl(
     ci = cube // (CY * CZ)
     cj = (cube // CZ) % CY
     ck = cube % CZ
-    pk = _PACKED_TRI_FLAT[mask_a[apos] * T.MAX_TRIS_PER_CUBE
+    pk = _PACKED_TRI_FLAT[rw[:, 1] * T.MAX_TRIS_PER_CUBE
                           + jnp.clip(k, 0, T.MAX_TRIS_PER_CUBE - 1)]
     dflat = density.reshape(-1)
     corners = []
@@ -910,8 +915,11 @@ def marching_cubes(
             f"density must be a 3-D grid with every dim >= 2, got {density.shape}"
         )
     lower, upper = resolve_bounds(density.shape, scale)
-    nvj, nfj, vuj, cuj, naj = _counts_impl(density, jnp.float32(thresh))
+    nvj, nfj, _vuj, _cuj, naj = _counts_impl(density, jnp.float32(thresh))
     nv, nf = int(nvj), int(nfj)
+    # unit budgets are obsolete (selection is exact since round 5) — NOT
+    # forwarded: passing varying rounded values would key extra recompiles
+    # on dead static args across frames of a changing surface
     res = marching_cubes_padded(
         density,
         thresh,
@@ -919,8 +927,6 @@ def marching_cubes(
         face_capacity=_round_capacity(nf),
         lower=lower,
         upper=upper,
-        vert_units=_round_capacity(int(vuj)),
-        cube_units=_round_capacity(int(cuj)),
         active_capacity=_round_capacity(int(naj)),
     )
     if verbose:

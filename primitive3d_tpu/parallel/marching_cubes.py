@@ -314,16 +314,18 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
         ntris_a = jnp.where(valid_a, ntris_f[asrc], 0)
         base_a = _excl_cumsum_flat(ntris_a)
         incl_a = base_a + ntris_a
-        # gather-thrift slot decode (see ops/marching_cubes): packed
-        # cube|base word + active-granularity mask gather
+        # gather-thrift slot decode (see ops/marching_cubes): the packed
+        # cube|base word and cube mask ride one row gather per slot
         mask_a = jnp.where(valid_a, mask.reshape(-1)[asrc], 0)
         packA = asrc * 8 + (base_a & 7)
+        rowA = jnp.stack([packA, mask_a], axis=1)
         s_q = jnp.arange(1, face_cap_per_shard + 1, dtype=incl_a.dtype)
         apos = jnp.clip(
             jnp.searchsorted(incl_a, s_q, method="sort"),
             0, incl_a.shape[0] - 1,
         )
-        w1 = packA[apos]
+        rw = rowA[apos]
+        w1 = rw[:, 0]
         cube = w1 >> 3
         kk = ((s_q - 1) - w1) & 7
         valid_f = s_q <= fcount
@@ -335,7 +337,7 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
         cj = (cube // CZ) % CY
         ck = cube % CZ
         pk = _PACKED_TRI_FLAT[
-            mask_a[apos] * T.MAX_TRIS_PER_CUBE
+            rw[:, 1] * T.MAX_TRIS_PER_CUBE
             + jnp.clip(kk, 0, T.MAX_TRIS_PER_CUBE - 1)
         ]
         fcols = []
