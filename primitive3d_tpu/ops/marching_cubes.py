@@ -656,6 +656,72 @@ def _mc_padded_impl(
     return MCResult(verts, faces, num_vertices, num_faces, a_ovf)
 
 
+def _corner_gather(density: Array, ci: Array, cj: Array, ck: Array) -> Array:
+    """(A, 8) corner-density blocks of cubes (ci, cj, ck) — ONE gather op.
+
+    A cube's 8 corners are a contiguous 2x2x2 block of the grid, so a
+    single XLA gather with slice_sizes (2, 2, 2) fetches all of them; on
+    TPU the cost is per gather ROW, not per element (the round-5 lesson),
+    so this replaces 6 scattered per-slot density gathers with one
+    active-cube-granularity block gather. Differentiable: the transpose is
+    a single block scatter-add. Flat order: corner (dx, dy, dz) at index
+    dx*4 + dy*2 + dz."""
+    starts = jnp.stack([ci, cj, ck], axis=-1)
+    out = jax.lax.gather(
+        density,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1, 2),
+        ),
+        slice_sizes=(2, 2, 2),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return out.reshape(ci.shape[0], 8)
+
+
+@jax.custom_vjp
+def _slot_rows(cd8: Array, apos: Array, base_a: Array, ntris_a: Array):
+    """``cd8[apos]`` with a windowed-segment-sum backward.
+
+    ``apos`` is the face-slot -> active-cube map produced by the
+    searchsorted over the triangle-count scan: slots for active cube ``a``
+    are exactly ``[base_a[a], base_a[a] + ntris_a[a])`` and
+    ``ntris_a <= MAX_TRIS_PER_CUBE``. The generic transpose of this gather
+    is an XLA scatter-add over all face slots (~30 ms at flagship scale);
+    the windowed backward instead sums each cube's <= 5 consecutive
+    cotangent rows with 5 masked row gathers — exact f32 sums, no scatter.
+    """
+    return cd8[apos]
+
+
+def _slot_rows_fwd(cd8, apos, base_a, ntris_a):
+    return cd8[apos], (cd8.shape[0], base_a, ntris_a)
+
+
+def _slot_rows_bwd(res, g):
+    A, base_a, ntris_a = res
+    F = g.shape[0]
+    dcd8 = jnp.zeros((A,) + g.shape[1:], g.dtype)
+    for t in range(T.MAX_TRIS_PER_CUBE):
+        idx = jnp.clip(base_a + t, 0, F - 1)
+        dcd8 = dcd8 + jnp.where((t < ntris_a)[:, None], g[idx], 0.0)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
+    return dcd8, f0(base_a), f0(base_a), f0(ntris_a)
+
+
+_slot_rows.defvjp(_slot_rows_fwd, _slot_rows_bwd)
+
+
+def _select8(rows: Array, code: Array) -> Array:
+    """rows[:, code] per row, as a static 8-way select chain (no gather)."""
+    out = rows[:, 0]
+    for i in range(1, 8):
+        out = jnp.where(code == i, rows[:, i], out)
+    return out
+
+
 class MCSoupResult(NamedTuple):
     """Padded triangle-soup marching cubes output (static shapes).
 
@@ -744,7 +810,15 @@ def _mc_soup_impl(
     ck = cube % CZ
     pk = _PACKED_TRI_FLAT[rw[:, 1] * T.MAX_TRIS_PER_CUBE
                           + jnp.clip(k, 0, T.MAX_TRIS_PER_CUBE - 1)]
-    dflat = density.reshape(-1)
+    # corner densities: ONE 2x2x2 block gather at active-cube granularity,
+    # then ONE row gather per face slot (windowed-segment-sum backward);
+    # every edge endpoint is one of the cube's 8 corners, picked below by a
+    # static select chain — zero per-slot density gathers remain
+    ci_a = asrc // (CY * CZ)
+    cj_a = (asrc // CZ) % CY
+    ck_a = asrc % CZ
+    cd = _corner_gather(density, ci_a, cj_a, ck_a)  # (Ac, 8)
+    cd8 = _slot_rows(cd, apos, base_a, ntris_a)  # (Fc, 8)
     corners = []
     for j in range(3):
         info = (pk >> (5 * j)) & 31
@@ -754,15 +828,18 @@ def _mc_soup_impl(
         oz = info & 1
         # edge lattice coords: x-edges at (ci, cj+oy, ck+oz), y-edges at
         # (ci+ox, cj, ck+oz), z-edges at (ci+ox, cj+oy, ck) — identical to
-        # _decode_edge's convention, computed here without the global edge
-        # id round-trip
-        ei = jnp.where(ax == 0, ci, ci + ox)
-        ej = jnp.where(ax == 1, cj, cj + oy)
-        ek = jnp.where(ax == 2, ck, ck + oz)
-        p0 = (ei * Y + ej) * Z + ek
-        step = jnp.where(ax == 0, Y * Z, jnp.where(ax == 1, Z, 1))
-        d0 = dflat[p0]
-        d1 = dflat[p0 + step]
+        # _decode_edge's convention; endpoint corner codes index the
+        # gathered 2x2x2 block (corner (dx,dy,dz) at dx*4 + dy*2 + dz)
+        dx0 = jnp.where(ax == 0, 0, ox)
+        dy0 = jnp.where(ax == 1, 0, oy)
+        dz0 = jnp.where(ax == 2, 0, oz)
+        code0 = dx0 * 4 + dy0 * 2 + dz0
+        code1 = code0 + jnp.where(ax == 0, 4, jnp.where(ax == 1, 2, 1))
+        d0 = _select8(cd8, code0)
+        d1 = _select8(cd8, code1)
+        ei = ci + dx0
+        ej = cj + dy0
+        ek = ck + dz0
         den = d1 - d0
         safe = jnp.where(den == 0, jnp.float32(1), den)
         dt = jnp.clip((thresh - d0) / safe, 0.0, 1.0)

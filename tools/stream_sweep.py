@@ -88,7 +88,7 @@ def main():
         cb = jax.block_until_ready(build_mxu_clusters(tris, cluster_size=S))
         log(f"S={S}: {cb.num_clusters} clusters, w2 "
             f"{cb.w2.size * 2 / 1e6:.0f} MB")
-        for RC in (256, 128):
+        for RC in (256, 512):
             try:
                 t0 = time.perf_counter()
                 d, i = cast_clusters_mxu(cb, oj, dj, stream=True, rchunk=RC)
