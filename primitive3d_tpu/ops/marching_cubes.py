@@ -657,28 +657,25 @@ def _mc_padded_impl(
 
 
 def _corner_gather(density: Array, ci: Array, cj: Array, ck: Array) -> Array:
-    """(A, 8) corner-density blocks of cubes (ci, cj, ck) — ONE gather op.
+    """(A, 8) corner densities of cubes (ci, cj, ck), at A granularity.
 
-    A cube's 8 corners are a contiguous 2x2x2 block of the grid, so a
-    single XLA gather with slice_sizes (2, 2, 2) fetches all of them; on
-    TPU the cost is per gather ROW, not per element (the round-5 lesson),
-    so this replaces 6 scattered per-slot density gathers with one
-    active-cube-granularity block gather. Differentiable: the transpose is
-    a single block scatter-add. Flat order: corner (dx, dy, dz) at index
-    dx*4 + dy*2 + dz."""
-    starts = jnp.stack([ci, cj, ck], axis=-1)
-    out = jax.lax.gather(
-        density,
-        starts,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3),
-            collapsed_slice_dims=(),
-            start_index_map=(0, 1, 2),
-        ),
-        slice_sizes=(2, 2, 2),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )
-    return out.reshape(ci.shape[0], 8)
+    Eight flat single-element gathers (one per corner) — deliberately NOT
+    an XLA gather with slice_sizes (2, 2, 2): the windowed gather (and its
+    windowed scatter-add transpose) lowers to a SERIAL per-index loop on
+    TPU — measured 478 ms forward / 1.4 s backward at flagship scale
+    versus ~10 ms for this form (round-5 trap). Gathering at ACTIVE-CUBE
+    granularity (~Ac rows) instead of per face slot is still the win: the
+    per-slot path re-reads each cube's corners for every triangle.
+    Differentiable (8 flat scatter-add transposes). Flat order: corner
+    (dx, dy, dz) at index dx*4 + dy*2 + dz."""
+    _, Y, Z = density.shape
+    dflat = density.reshape(-1)
+    base = (ci * Y + cj) * Z + ck
+    cols = []
+    for c in range(8):
+        dx, dy, dz = (c >> 2) & 1, (c >> 1) & 1, c & 1
+        cols.append(dflat[base + (dx * Y + dy) * Z + dz])
+    return jnp.stack(cols, axis=-1)
 
 
 @jax.custom_vjp

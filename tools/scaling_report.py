@@ -1,18 +1,25 @@
-"""Scaling-efficiency report: rays/s and voxels/s at 1..N devices.
+"""Scaling evidence: collective payloads + shard-overhead growth.
 
-BASELINE.md requires throughput reported at 1 chip / 1 host / N hosts with
->= 85% efficiency on a 2-host slice. This harness runs the sharded ray caster
-and sharded marching cubes over whatever devices are available (a real pod
-slice, or the virtual CPU mesh for a logic check) and writes a JSON artifact:
+BASELINE.md asks for scaling efficiency at 1 chip / 1 host / N hosts; real
+multi-chip hardware is unavailable here, so this harness produces the
+evidence that IS measurable (round-5 verdict: the old virtual-mesh
+throughput table was measurement noise and is gone):
 
-    python tools/scaling_report.py [--out SCALING.json]     # local devices
+  1. WEAK-SCALING OVERHEAD on the virtual CPU mesh: per-shard work held
+     FIXED while the shard count grows. All virtual devices share one CPU,
+     so the ideal wall time is S x the 1-shard time; the measured ratio
+     above S isolates the overhead the sharding itself adds (collectives,
+     halo rows, padding) — a logic-level lower bound on scaling loss.
+  2. COLLECTIVE PAYLOADS from compiled HLO: the exact ops and bytes each
+     sharded program moves per step — the basis for projecting ICI-slice
+     efficiency.
+  3. SERIAL-FRACTION ACCOUNTING from MEASURED x1 sharded stage times
+     (tools/sharded_split.py artifact, real chip), not single-chip
+     proxies.
+
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python tools/scaling_report.py --out SCALING_r3.json  # virtual mesh
-
-Efficiency numbers on the virtual CPU mesh only validate the machinery (all
-virtual devices share one CPU, so per-device rates FALL as n grows and
-"efficiency" reflects scheduler overhead, not ICI scaling); real numbers
-require real chips — the artifact records which case it measured.
+        python tools/scaling_report.py --out SCALING_r5.json \
+        [--sharded-split SHARDED_SPLIT_r5.json] [--flagship FLAGSHIP_r5.json]
 """
 import argparse
 import json
@@ -49,6 +56,12 @@ def amortized(fn, K=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="write JSON artifact here")
+    ap.add_argument("--sharded-split", default=None,
+                    help="sharded_split.py artifact (measured x1 sharded "
+                         "stage times, real chip) for the accounting")
+    ap.add_argument("--flagship", default=None,
+                    help="flagship_probe artifact with the single-chip "
+                         "step_ms to compare against")
     args = ap.parse_args()
 
     from primitive3d_tpu.parallel.marching_cubes import sharded_marching_cubes
@@ -66,11 +79,10 @@ def main():
         "device_kind": str(devs[0].device_kind),
         "n_devices": len(devs),
         "virtual_cpu_mesh": not on_tpu,
-        "rays": [],
-        "voxels": [],
+        "weak_scaling_overhead": [],
     }
 
-    # --- rays: data-parallel MXU cast over an icosphere ---------------------
+    # --- rays for the HLO collective analysis below -------------------------
     v, f = icosphere(3)
     w = triangle_matrix(jnp.asarray(np.asarray(v, np.float32)[np.asarray(f)]))
     R = 1 << 15
@@ -80,41 +92,24 @@ def main():
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     oj, dj = jnp.asarray(o), jnp.asarray(d)
 
-    base_rate = None
+    # --- weak scaling: FIXED per-shard MC work, growing shard count ---------
+    # On the shared-CPU virtual mesh the ideal wall time is S x the 1-shard
+    # time (every virtual device's work runs on one CPU); overhead_factor =
+    # measured / ideal isolates what the sharding itself adds. The r4
+    # throughput table this replaces divided constant TOTAL work across
+    # virtual devices and called the noise "efficiency".
+    Ns = 32  # per-shard slab: (Ns, Ny, Nz)
+    Ny = Nz = 64
+    base = None
     for n in sizes:
-        mesh = make_mesh(n, axis_name="data")
-        sh = NamedSharding(mesh, P("data"))
-        ojs = jax.device_put(oj, sh)
-        djs = jax.device_put(dj, sh)
-
-        def cast_s(z, ojs=ojs, djs=djs):
-            t, i = cast_mxu(w, ojs + z, djs, jnp.float32(10.0), 512)
-            # consume BOTH outputs: a single-element sync lets XLA dead-code
-            # whole sections (the r1/r2 MT-bench lesson)
-            return jnp.sum(t) + jnp.sum(i).astype(jnp.float32)
-
-        sec = amortized(cast_s)
-        rate = R / sec
-        eff = 100.0 * rate / (base_rate * n) if base_rate else 100.0
-        if base_rate is None:
-            base_rate = rate
-        print(f"rays  n={n}: {rate/1e6:8.2f} Mrays/s  efficiency {eff:5.1f}%")
-        report["rays"].append(
-            {"devices": n, "rays_per_s": round(rate), "efficiency_pct": round(eff, 1)}
-        )
-
-    # --- voxels: sharded MC -------------------------------------------------
-    N = 64
-    x, y, z = np.mgrid[:N, :N, :N].astype(np.float32)
-    grid = jnp.asarray(-((x - N / 2) ** 2 + (y - N / 2) ** 2 + (z - N / 2) ** 2
-                         - (N / 4) ** 2))
-    base_rate = None
-    for n in sizes:
-        if N % n:
-            continue
+        X = Ns * n
+        xg, yg, zg = np.mgrid[:X, :Ny, :Nz].astype(np.float32)
+        grid = jnp.asarray(
+            -((xg - X / 2) ** 2 + (yg - Ny / 2) ** 2 + (zg - Nz / 2) ** 2
+              - (min(X, Ny) / 3) ** 2) / X)
         mesh = make_mesh(n, axis_name="x")
 
-        def mc_s(zz, mesh=mesh):
+        def mc_s(zz, mesh=mesh, grid=grid):
             r = sharded_marching_cubes(
                 mesh, grid + zz, 0.0,
                 vert_cap_per_shard=1 << 14, face_cap_per_shard=1 << 15,
@@ -123,14 +118,20 @@ def main():
                     + jnp.sum(r.faces).astype(jnp.float32))
 
         sec = amortized(mc_s, K=3)
-        rate = N**3 / sec
-        eff = 100.0 * rate / (base_rate * n) if base_rate else 100.0
-        if base_rate is None:
-            base_rate = rate
-        print(f"voxels n={n}: {rate/1e6:8.2f} Mvox/s  efficiency {eff:5.1f}%")
-        report["voxels"].append(
-            {"devices": n, "vox_per_s": round(rate), "efficiency_pct": round(eff, 1)}
-        )
+        ideal = (base * n) if base else sec
+        if base is None:
+            base = sec
+        factor = sec / ideal
+        print(f"weak-scaling S={n}: {sec*1e3:8.2f} ms "
+              f"(ideal {ideal*1e3:.2f}) overhead x{factor:.3f}")
+        report["weak_scaling_overhead"].append(
+            {"shards": n, "ms": round(sec * 1e3, 2),
+             "ideal_ms": round(ideal * 1e3, 2),
+             "overhead_factor": round(factor, 3)})
+    report["weak_scaling_note"] = (
+        "fixed (32, 64, 64) slab per shard on the shared-CPU virtual mesh; "
+        "ideal = S x 1-shard time; overhead_factor-1 is the sharding's own "
+        "added cost (collectives, halo, padding) at the logic level")
 
     # --- communication analysis (exact, from compiled HLO) ------------------
     # Wall-clock efficiency on the virtual CPU mesh is meaningless (all
@@ -243,25 +244,46 @@ def main():
             "config": f"{Ns}^3 grid, {Rf} rays, full value_and_grad "
                       "(collective structure; payloads scale with shapes)",
             "collectives": step_comm,
-            "serial_fraction_accounting": {
-                "note": "single-chip per-stage ms from tools/flagship_probe "
-                        "split (1080p, 256^3, TPU v5e, round 4); 'sharded' "
-                        "stages divide by device count in the composition, "
-                        "'replicated' stages run identically on every device",
-                "sharded_ms": {
-                    "mc_extract": 90.0,
-                    "cast_kernel_plus_prep": 22.9,
-                    "fin_select_extra": 6.1,
-                    "backward (plane scatter + soup scatter + MC bwd)": 47.0,
-                },
-                "replicated_ms": {
-                    "cluster_build_w2_fin": 12.0,
-                    "plane_rows_and_misc": 2.0,
-                },
-                "serial_fraction_pct": round(
-                    100 * 14.0 / (90.0 + 22.9 + 6.1 + 47.0 + 14.0), 1),
-            },
         }
+        # serial-fraction accounting from MEASURED x1 sharded stage times
+        # (round-5 fix: the r4 accounting used single-chip stage times as
+        # proxies, understating the sharded MC body's x1 overhead)
+        if args.sharded_split:
+            with open(args.sharded_split) as fh:
+                ss = json.load(fh)
+            step_ms = ss["step_ms"]
+            # stages measured on the SHARDED program at x1: the mc body,
+            # the gather/remap/de-index, and the rest of the step. The
+            # replicated (serial) work is the soup -> cluster-matrix build
+            # + plane rows, measured as loss_fwd - (soup stage + cast);
+            # everything in mc_body/soup/backward shards with devices.
+            acct = {
+                "note": "all times MEASURED on the x1 SHARDED composition "
+                        "(tools/sharded_split.py, real chip) — not "
+                        "single-chip proxies",
+                "x1_sharded_stage_ms": {
+                    "mc_shard_body": ss["mc_body_ms"],
+                    "gather_remap_deindex": round(
+                        ss["soup_ms"] - ss["mc_body_ms"], 2),
+                    "cluster_build_cast_epilogue (replicated build)": round(
+                        ss["loss_fwd_ms"] - ss["soup_ms"], 2),
+                    "backward": ss["bwd_ms"],
+                },
+                "x1_sharded_step_ms": step_ms,
+            }
+            if args.flagship:
+                with open(args.flagship) as fh:
+                    fl = json.load(fh)
+                single = (fl.get("step", {}).get("step_ms")
+                          or fl.get("split", {}).get("step_ms"))
+                if single:
+                    acct["single_chip_step_ms"] = single
+                    acct["x1_overhead_factor"] = round(step_ms / single, 3)
+            report["flagship_step"]["serial_fraction_accounting"] = acct
+        else:
+            report["flagship_step"]["serial_fraction_accounting"] = (
+                "absent — run tools/sharded_split.py on the chip and pass "
+                "--sharded-split")
         print("collectives (flagship step):", step_comm)
     except Exception as e:  # noqa: BLE001
         print("flagship step analysis failed:", e)
