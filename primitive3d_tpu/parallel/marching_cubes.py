@@ -121,6 +121,10 @@ def sharded_marching_cubes(
     )
     impl = functools.partial(
         shard_map, mesh=mesh,
+        # vma inference cannot see through the fused Pallas mask kernel's
+        # out_shape (ShapeDtypeStruct has no vma) — same opt-out as every
+        # other shard_map in parallel/
+        check_vma=False,
         in_specs=(P(axis_name, None, None),),
         out_specs=(
             P(axis_name, None),  # vertices
