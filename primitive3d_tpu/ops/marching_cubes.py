@@ -75,13 +75,24 @@ def _ntris_vec(mask: Array) -> Array:
     return out
 
 
-def _excl_cumsum_flat(x: Array, block: int = 512) -> Array:
+def _excl_cumsum_flat(x: Array, block: int = 128) -> Array:
     """Exclusive prefix sum of a flat int array via MXU triangular matmul.
 
     The FLOPs of a prefix scan belong on the systolic array: within each
     block, ``excl = x_block @ StrictUpper`` (exact in f32 — per-block sums
-    are < 2^24); tiny int32 inter-block scan supplies offsets. A direct 1-D
-    ``jnp.cumsum`` over tens of millions of elements lowers poorly on TPU.
+    stay < 2^24 for every caller: crossing masks are 0/1 and triangle
+    counts are <= 5); the inter-block offsets come from a scan over the
+    per-block totals. A direct 1-D ``jnp.cumsum`` over tens of millions of
+    elements lowers poorly on TPU.
+
+    Matmul FLOPs are ``2 * n * block``, so the smallest MXU-shaped block
+    (128) is 4x cheaper than round-4's 512 — the scans were ~15% of the
+    256^3 extraction. When there are too many blocks for a flat inter-block
+    ``jnp.cumsum`` to lower well, the totals scan RECURSES through this
+    same routine; totals can exceed the f32-exact budget there, so the
+    recursive level scans 12-bit digit planes separately (cumsum is linear:
+    ``excl(t) = excl(t >> 12) * 4096 + excl(t & 0xFFF)``) — exact int32 up
+    to 2^31 totals.
     """
     n = x.shape[0]
     pad = (-n) % block
@@ -95,8 +106,13 @@ def _excl_cumsum_flat(x: Array, block: int = 512) -> Array:
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
-    totals = jnp.sum(xp, axis=1)
-    offsets = jnp.cumsum(totals) - totals
+    totals = jnp.sum(xp, axis=1).astype(jnp.int32)
+    if totals.shape[0] > 8192:
+        hi = _excl_cumsum_flat(totals >> 12, block)
+        lo = _excl_cumsum_flat(totals & 0xFFF, block)
+        offsets = (hi * 4096 + lo).astype(x.dtype)
+    else:
+        offsets = (jnp.cumsum(totals) - totals).astype(x.dtype)
     return (intra_excl + offsets[:, None]).reshape(-1)[:n]
 
 
@@ -147,6 +163,64 @@ def _pack_units(m2: Array) -> Array:
     return jnp.sum(m32 << w, axis=1, dtype=jnp.int32).reshape(U, 4)
 
 
+_SUP = 32  # items per super-group of the sort-free expansion decode
+
+
+def _expand_src(counts: Array, capacity: int):
+    """Slot -> (item, rank) decode for variable-count expansion — sort-free.
+
+    Item ``i`` with count ``c_i`` owns output slots ``[excl_i, excl_i+c_i)``
+    (``excl`` the exclusive prefix of counts); this returns, for every slot
+    ``q`` in ``[0, capacity)``, the owning item and ``q``'s rank within it.
+    Rounds 1-4 answered slot->item with a merge-sort ``searchsorted`` whose
+    cost is a sort of ``capacity + N`` keys — the single biggest remaining
+    sort in MC/MT. This replaces it with dense-domain rank decoding:
+
+      (1) items group into supers of 32 whose within-super inclusive counts
+          come from one tiny row cumsum;
+      (2) each super marks its global END slot with a scatter-add of ONE
+          int per super (N/32 elements — the only scatter, ~100x smaller
+          than the old sort); an inclusive prefix scan of the marks over
+          the dense slot axis IS slot -> super ("how many supers ended at
+          or before me");
+      (3) the super's exclusive offset + its 32 inclusive counts ride one
+          (capacity, 33) row gather; two vector compares finish item and
+          rank.
+
+    Slots past the true total decode to in-bounds garbage (mask on the
+    caller's validity count, exactly like the searchsorted path did).
+    """
+    n = counts.shape[0]
+    counts = counts.astype(jnp.int32)
+    pad = (-n) % _SUP
+    cp = jnp.pad(counts, (0, pad)) if pad else counts
+    c2 = cp.reshape(-1, _SUP)  # (S, 32) per-item counts
+    incl_w = jnp.cumsum(c2, axis=1)  # within-super inclusive counts
+    scnt = incl_w[:, -1]  # (S,) per-super totals
+    S = c2.shape[0]
+    excl_s = _excl_cumsum_flat(scnt)
+    incl_s = excl_s + scnt
+    # (2): sup(q) = #supers whose inclusive end is <= q
+    marks = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.clip(incl_s, 0, capacity - 1)
+    ].add((incl_s < capacity).astype(jnp.int32))
+    sup = jnp.minimum(_excl_cumsum_flat(marks) + marks, S - 1)
+    q = jnp.arange(capacity, dtype=jnp.int32)
+    table = jnp.concatenate([excl_s[:, None], incl_w], axis=1)  # (S, 33)
+    g = table[sup]  # ONE row gather per slot
+    r_s = q - g[:, 0]  # rank within the super
+    iw = g[:, 1:]  # (capacity, 32) within-super inclusive counts
+    # item within super = #items of the super fully before rank r_s; rank
+    # within item = r_s minus the items-before inclusive count (which is
+    # iw[uidx-1], extracted with an iota compare — no second gather)
+    uidx = jnp.sum((iw <= r_s[:, None]).astype(jnp.int32), axis=1)
+    uidx = jnp.minimum(uidx, _SUP - 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, iw.shape, 1)
+    pre = jnp.sum(jnp.where(j == uidx[:, None] - 1, iw, 0), axis=1)
+    item = jnp.minimum(sup * _SUP + uidx, n - 1)
+    return item, r_s - pre
+
+
 def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
                   m2=None, ucnt=None):
     """Stable selection: indices of the first ``capacity`` set bits — EXACT.
@@ -156,15 +230,14 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
     unit scheme; round 5 replaces the sorts with rank DECODING). The mask is
     viewed as 128-element units whose per-unit counts are already known:
 
-      (1) one exclusive scan over the U = E/128 per-unit counts gives each
-          unit's starting output slot;
-      (2) each output slot q finds its unit with ONE merge-sort
-          ``searchsorted`` over (capacity + U) elements — the only
-          sort-shaped work left, ~10x smaller than the old scheme's
-          sub-unit sorts;
-      (3) the within-unit rank r = q - excl[unit] decodes to a bit position
-          by popcount-prefix over the unit's 4 bit-packed words (word ->
-          byte -> bit, all static vector ops).
+      (1) ``_expand_src`` over the U = E/128 per-unit counts answers
+          slot -> (unit, within-unit rank) with NO sort at all (boundary
+          scatter + dense prefix scan — see its docstring; earlier round-5
+          code ran a merge-sort ``searchsorted`` over capacity + U keys
+          here, the last sort-shaped work in the op);
+      (2) the rank decodes to a bit position by popcount-prefix over the
+          unit's 4 bit-packed words, fetched with one (capacity, 4) row
+          gather (word -> byte -> bit, all static vector ops).
 
     Unlike the old unit-budget scheme this never truncates: selection is
     exact for any occupancy, so ``unit_overflow`` is constant False (kept in
@@ -173,25 +246,14 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
     del unit_capacity  # the decode is exact; no unit budget exists any more
     if m2 is None:
         m2, ucnt = _unit_view(mask)
-    U = m2.shape[0]
     packed = _pack_units(m2)  # (U, 4) int32 — one elementwise pass over E
-    excl_u = _excl_cumsum_flat(ucnt)  # (U,) starting output slot per unit
-    incl_u = excl_u + ucnt
-    q = jnp.arange(capacity, dtype=jnp.int32)
-    # merge-sort searchsorted: unit owning output slot q (first unit whose
-    # inclusive count exceeds q)
-    unit = jnp.clip(
-        jnp.searchsorted(incl_u, q + 1, method="sort"), 0, U - 1
-    )
-    # ONE row gather per slot: a (capacity, 5) row gather costs about the
+    unit, r = _expand_src(ucnt, capacity)
+    # ONE row gather per slot: a (capacity, 4) row gather costs about the
     # same as a single-element gather per row on TPU — a round-5 probe that
     # split the row into per-word computed-index gathers (plus a packed
     # popcount-prefix byte) measured 50% SLOWER (18.4 vs 12.1 ms at
     # flagship scale); gather OPS are the budget, not gathered elements.
-    # The unit's exclusive offset rides the same row as its 4 words.
-    row = jnp.concatenate([excl_u[:, None], packed], axis=1)[unit]
-    r = q - row[:, 0]  # rank within the unit, 0..127 for valid slots
-    w = row[:, 1:5]  # (capacity, 4)
+    w = packed[unit]  # (capacity, 4)
     pc = jax.lax.population_count(w)
     c1 = pc[:, 0]
     c2 = c1 + pc[:, 1]
@@ -595,36 +657,24 @@ def _mc_padded_impl(
     a_ovf = n_active > Ac
     valid_a = jnp.arange(Ac, dtype=jnp.int32) < n_active
     ntris_a = jnp.where(valid_a, ntris[asrc], 0)  # (Ac,)
-    base_a = _excl_cumsum_flat(ntris_a)
-    incl_a = base_a + ntris_a
 
-    # Face slot s lives in the active cube whose cumulative-triangle range
-    # contains s, at local index k = s - base[cube]. Vertex ids come from
-    # the bit-packed per-triangle table (mc_tables.PACKED_TRI): one word
-    # per slot encodes its 3 vertices' (axis, voxel-offset) — the id is then
-    # a COMPUTED flat index into the per-axis scan-id arrays. Grid-sized
+    # Face slot s -> (active cube, within-cube triangle k) is sort-free
+    # rank decoding over the per-cube triangle counts (``_expand_src``;
+    # round 4 ran a merge-sort ``searchsorted`` over face_capacity + Ac
+    # elements here — 9.3 of the 44.6 ms 256^3 extraction). Vertex ids come
+    # from the bit-packed per-triangle table (mc_tables.PACKED_TRI): one
+    # word per slot encodes its 3 vertices' (axis, voxel-offset) — the id
+    # is then a COMPUTED flat index into the edge-scan id array. Grid-sized
     # dynamic gathers run at ~9 ns/element on TPU regardless of table size,
-    # so per-slot gather count is the budget: the cube id and base-slot
-    # ride ONE packed word (cube * 8 | base mod 8 — k < 8, so the mod-8
-    # residue reconstructs k exactly), and the cube mask is pre-gathered
-    # once at active-cube granularity instead of per slot from the 16M
-    # grid: 3 gathers per face column's prep (packed word, mask, table)
-    # plus the 3 id gathers below.
+    # so per-slot gather count is the budget: the cube id and cube mask
+    # ride ONE row gather, with the cube mask pre-gathered once at
+    # active-cube granularity instead of per slot from the 16M grid.
     mask_a = jnp.where(valid_a, mask[asrc], 0)  # (Ac,)
-    packA = asrc * 8 + (base_a & 7)  # asrc*8 < 2^31 up to 511^3 cubes
-    # ONE row gather per slot (rows are near-free; ops are the budget):
-    # [packed cube|base word, cube mask] ride together
-    rowA = jnp.stack([packA, mask_a], axis=1)  # (Ac, 2)
-    s_q = jnp.arange(1, face_capacity + 1, dtype=incl_a.dtype)
-    # method='sort' merges queries+array in one parallel sort — far cheaper
-    # on TPU than the default binary-search scan
-    apos = jnp.clip(
-        jnp.searchsorted(incl_a, s_q, method="sort"), 0, incl_a.shape[0] - 1
-    )
+    apos, k = _expand_src(ntris_a, face_capacity)
+    s_q = jnp.arange(1, face_capacity + 1, dtype=jnp.int32)
+    rowA = jnp.stack([asrc, mask_a], axis=1)  # (Ac, 2)
     rw = rowA[apos]  # (Fc, 2)
-    w1 = rw[:, 0]
-    cube = w1 >> 3
-    k = ((s_q - 1) - w1) & 7  # == s - 1 - base (mod 8) == k for k in [0,8)
+    cube = rw[:, 0]
     valid_f = s_q <= num_faces
     CY, CZ = Y - 1, Z - 1
     ci = cube // (CY * CZ)
@@ -784,22 +834,17 @@ def _mc_soup_impl(
     a_ovf = n_active > Ac
     valid_a = jnp.arange(Ac, dtype=jnp.int32) < n_active
     ntris_a = jnp.where(valid_a, ntris[asrc], 0)
+    # base_a feeds _slot_rows' windowed-segment backward only — the
+    # forward slot -> cube map is sort-free rank decoding, as in
+    # _mc_padded_impl (round 5: replaces the merge-sort searchsorted)
     base_a = _excl_cumsum_flat(ntris_a)
-    incl_a = base_a + ntris_a
 
-    # same gather-thrift slot decode as _mc_padded_impl: the packed
-    # cube|base word and cube mask ride one row gather per slot
     mask_a = jnp.where(valid_a, mask[asrc], 0)  # (Ac,)
-    packA = asrc * 8 + (base_a & 7)
-    rowA = jnp.stack([packA, mask_a], axis=1)  # (Ac, 2)
-    s_q = jnp.arange(1, face_capacity + 1, dtype=incl_a.dtype)
-    apos = jnp.clip(
-        jnp.searchsorted(incl_a, s_q, method="sort"), 0, incl_a.shape[0] - 1
-    )
+    apos, k = _expand_src(ntris_a, face_capacity)
+    s_q = jnp.arange(1, face_capacity + 1, dtype=jnp.int32)
+    rowA = jnp.stack([asrc, mask_a], axis=1)  # (Ac, 2)
     rw = rowA[apos]
-    w1 = rw[:, 0]
-    cube = w1 >> 3
-    k = ((s_q - 1) - w1) & 7
+    cube = rw[:, 0]
     valid_f = s_q <= num_faces
     CY, CZ = Y - 1, Z - 1
     ci = cube // (CY * CZ)

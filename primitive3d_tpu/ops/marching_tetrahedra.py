@@ -34,8 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import debug
-from .marching_cubes import (_excl_cumsum_flat, _masked_compact_cols,
-                             _twolevel_src)
+from .marching_cubes import (_excl_cumsum_flat, _expand_src,
+                             _masked_compact_cols, _twolevel_src)
 
 Array = jax.Array
 
@@ -205,15 +205,15 @@ def _mt_impl_dense(
         occ4.astype(jnp.int32) * jnp.asarray([1, 2, 4, 8], jnp.int32), axis=-1
     )  # (T,)
     ntris = jnp.where(valid_tet, _NUM_TRIS[table_idx], 0)
-    base = jnp.cumsum(ntris) - ntris
     num_faces = jnp.sum(ntris)
 
-    # gather-based face emission (same pattern as marching cubes): face slot s
-    # -> owning tet by binary search over the triangle-count scan
-    incl = base + ntris
-    s_q = jnp.arange(1, face_capacity + 1, dtype=incl.dtype)
-    tet_g = jnp.clip(jnp.searchsorted(incl, s_q, method="sort"), 0, T - 1)
-    k = (s_q - 1) - base[tet_g]  # 0 or 1
+    # gather-based face emission (same pattern as marching cubes): face slot
+    # s -> owning tet by sort-free rank decoding over the per-tet triangle
+    # counts (round 5; rounds 1-4 ran a merge-sort ``searchsorted`` over
+    # face_capacity + T keys here)
+    s_q = jnp.arange(1, face_capacity + 1, dtype=jnp.int32)
+    tet_g, k = _expand_src(ntris, face_capacity)
+    k = jnp.clip(k, 0, 1)  # out-of-range slots decode to garbage ranks
     valid_f = s_q <= num_faces
     tri_rows = _TRI_TABLE[table_idx[tet_g]]  # (Fc, 6)
     ev_rows = edge_vid[tet_g]  # (Fc, 6)
@@ -376,17 +376,17 @@ def _mt_impl_tmajor(
     table_idx = (occ_a[0].astype(jnp.int32) + 2 * occ_a[1]
                  + 4 * occ_a[2] + 8 * occ_a[3])  # (A,)
     ntris = jnp.where(act_valid, _NUM_TRIS[table_idx], 0)
-    base = jnp.cumsum(ntris) - ntris
+    incl = jnp.cumsum(ntris)  # inclusive scan: only incl[A-1] is consumed
 
-    # gather-based face emission (same pattern as marching cubes): face slot s
-    # -> owning active tet by binary search over the triangle-count scan
-    incl = base + ntris
-    s_q = jnp.arange(1, face_capacity + 1, dtype=incl.dtype)
-    tet_a = jnp.clip(jnp.searchsorted(incl, s_q, method="sort"), 0, A - 1)
+    # gather-based face emission (same pattern as marching cubes): face slot
+    # s -> owning active tet by sort-free rank decoding (round 5; rounds
+    # 1-4 ran a merge-sort ``searchsorted`` over face_capacity + A keys)
+    s_q = jnp.arange(1, face_capacity + 1, dtype=jnp.int32)
+    tet_a, k = _expand_src(ntris, face_capacity)
     # clip keeps within-capacity slots well-formed when active tets exceed A
     # (overflow is already flagged via num_faces; without the clip k escapes
     # the 0/1 range and emits garbage ids in otherwise-valid slots)
-    k = jnp.clip((s_q - 1) - base[tet_a], 0, 1)
+    k = jnp.clip(k, 0, 1)
     valid_f = (s_q <= num_faces) & (s_q <= incl[A - 1])
     tri_rows = _TRI_TABLE[table_idx[tet_a]]  # (Fc, 6) — Fc-major, small
     fcols = []

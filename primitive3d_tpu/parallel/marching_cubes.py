@@ -37,7 +37,7 @@ from jax import shard_map
 from ..core import debug
 from ..ops import mc_tables as T
 from ..ops.marching_cubes import (_PACKED_TRI_FLAT, _excl_cumsum_flat,
-                                  _ntris_vec, _twolevel_src)
+                                  _expand_src, _ntris_vec, _twolevel_src)
 
 Array = jax.Array
 
@@ -316,22 +316,15 @@ def mc_shard_body(slab: Array, *, thresh, axis_name: str, S: int, Xv: int,
         n_active = jnp.sum(amask, dtype=jnp.int32)
         valid_a = jnp.arange(face_cap_per_shard, dtype=jnp.int32) < n_active
         ntris_a = jnp.where(valid_a, ntris_f[asrc], 0)
-        base_a = _excl_cumsum_flat(ntris_a)
-        incl_a = base_a + ntris_a
-        # gather-thrift slot decode (see ops/marching_cubes): the packed
-        # cube|base word and cube mask ride one row gather per slot
+        # gather-thrift slot decode (see ops/marching_cubes): sort-free
+        # rank decoding over per-cube triangle counts; the cube id and
+        # cube mask ride one row gather per slot
         mask_a = jnp.where(valid_a, mask.reshape(-1)[asrc], 0)
-        packA = asrc * 8 + (base_a & 7)
-        rowA = jnp.stack([packA, mask_a], axis=1)
-        s_q = jnp.arange(1, face_cap_per_shard + 1, dtype=incl_a.dtype)
-        apos = jnp.clip(
-            jnp.searchsorted(incl_a, s_q, method="sort"),
-            0, incl_a.shape[0] - 1,
-        )
+        rowA = jnp.stack([asrc, mask_a], axis=1)
+        s_q = jnp.arange(1, face_cap_per_shard + 1, dtype=jnp.int32)
+        apos, kk = _expand_src(ntris_a, face_cap_per_shard)
         rw = rowA[apos]
-        w1 = rw[:, 0]
-        cube = w1 >> 3
-        kk = ((s_q - 1) - w1) & 7
+        cube = rw[:, 0]
         valid_f = s_q <= fcount
         # bit-packed per-triangle edge info + computed flat indices into the
         # UNIFIED row-major id array (one gather per face column instead of

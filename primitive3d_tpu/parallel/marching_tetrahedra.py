@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core import debug
-from ..ops.marching_cubes import _excl_cumsum_flat
+from ..ops.marching_cubes import _excl_cumsum_flat, _expand_src
 from ..ops.marching_tetrahedra import (_KUHN_PATHS, _LATTICE_DIRS, _TRI_TABLE,
                                        _where_chain)
 from .marching_cubes import ShardedMCResult, _row_ids
@@ -158,11 +158,11 @@ def mt_lattice_shard_body(slab: Array, *, axis_name: str, S: int, n: int,
 
     # --- vertices: slot -> (local point, direction) decode -----------------
     own = Xs * N2
-    incl_own = (excl_flat[:own] - vbase) + tot_flat[:own]
+    # slot -> owning point by sort-free rank decoding (``excl_flat - vbase``
+    # over the owned rows IS the flat exclusive cumsum of ``tot_flat``:
+    # per-row offsets + within-row ranks chain exactly)
     q = jnp.arange(vert_cap_per_shard, dtype=jnp.int32)
-    p = jnp.clip(jnp.searchsorted(incl_own, q + 1, method="sort"),
-                 0, own - 1)
-    r = q - (excl_flat[p] - vbase)
+    p, r = _expand_src(tot_flat[:own], vert_cap_per_shard)
     cb = cbyte_flat[p]
     di = jnp.zeros_like(r)
     cnt = jnp.zeros_like(r)
@@ -219,12 +219,12 @@ def mt_lattice_shard_body(slab: Array, *, axis_name: str, S: int, n: int,
     celltot_flat = celltot.reshape(-1)
     packed_flat = packed_nt.reshape(-1)
     Cn = Xs * C2
-    incl_cell = excl_cell_flat + celltot_flat
 
+    # slot -> owning cell by sort-free rank decoding; ``excl_cell_flat``
+    # minus the shard face base is the flat exclusive cumsum of
+    # ``celltot_flat`` by the same row-chaining argument as the vertex side
     s_q = jnp.arange(1, face_cap_per_shard + 1, dtype=jnp.int32)
-    cell = jnp.clip(jnp.searchsorted(incl_cell, s_q, method="sort"),
-                    0, Cn - 1)
-    rr = (s_q - 1) - excl_cell_flat[cell]
+    cell, rr = _expand_src(celltot_flat, face_cap_per_shard)
     w = packed_flat[cell]
     path = jnp.zeros_like(rr)
     kk = jnp.zeros_like(rr)

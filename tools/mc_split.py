@@ -29,7 +29,7 @@ def log(*a):
 def main():
     from primitive3d_tpu.kernels.mc_masks import fused_masks
     from primitive3d_tpu.ops.marching_cubes import (
-        _edge_ids, _excl_cumsum_flat, _mask_sort_idx, _ntris_vec,
+        _edge_ids, _excl_cumsum_flat, _expand_src, _ntris_vec,
         _selected_positions, _twolevel_src, _unit_view, marching_cubes_padded)
 
     print("device:", jax.devices()[0])
@@ -119,15 +119,12 @@ def main():
     @jax.jit
     def fsearch(dd):
         mask, asrc, base_a, incl_a = face_common(dd)
-        s_q = jnp.arange(1, FC + 1, dtype=incl_a.dtype)
-        apos = jnp.clip(
-            jnp.searchsorted(incl_a, s_q, method="sort"), 0,
-            incl_a.shape[0] - 1)
+        apos, k = _expand_src(incl_a - base_a, FC)
         cube = asrc[apos]
-        return cube[:1] + cube[-1:]
+        return cube[:1] + cube[-1:] + k[-1:]
 
     fsearch(d)
-    log("masks + active select + searchsorted: "
+    log("masks + active select + slot decode: "
         f"{slope_time(lambda: fsearch(d), 5)*1e3:.1f} ms")
 
     # -- f) full padded MC -------------------------------------------------
