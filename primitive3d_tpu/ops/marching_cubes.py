@@ -287,27 +287,6 @@ def _twolevel_src(mask: Array, capacity: int, unit_capacity: int,
     return src, jnp.bool_(False)
 
 
-def _mask_sort_idx(mask: Array, packed_limit: int = 1 << 27) -> Array:
-    """Indices of set-mask positions first (each side in ascending order).
-
-    Equivalent to a stable sort on (1-mask, index) but packs both into ONE
-    int32 key — ``(1-mask) << 27 | index`` — halving the sorted bytes. Falls
-    back to the pair sort when indices don't fit 27 bits (the largest index
-    is n-1, so the packed path is valid up to n == 2^27 inclusive — a 512^3
-    grid's 4e8-element edge mask takes the pair path). ``packed_limit``
-    exists so tests can force the pair path on small inputs and assert the
-    two branches agree (the switch is silent in production).
-    """
-    n = mask.shape[0]
-    mask = mask.astype(jnp.int32)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    if n <= packed_limit:
-        key = ((1 - mask) << 27) | idx
-        return jnp.sort(key) & ((1 << 27) - 1)
-    _, src = jax.lax.sort((1 - mask, idx), num_keys=1, is_stable=True)
-    return src
-
-
 def _units_occupied(mask: Array) -> Array:
     """Number of 128-element units containing any set bit (overflow check)."""
     _, ucnt = _unit_view(mask)

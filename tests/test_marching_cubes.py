@@ -275,44 +275,64 @@ class TestSoupParity:
         assert float(jnp.abs(gs).sum()) > 0
 
 
-class TestMaskSortIdxBoundary:
-    """_mask_sort_idx's packed-key fast path silently switches to the pair
-    sort past 2^27 elements (a 512^3 grid's edge mask) — round-3 verdict
-    weak item #8: both branches and the exact boundary must be asserted."""
+class TestExpandSrc:
+    """The sort-free slot -> (item, rank) decoder behind every MC/MT
+    compaction and face expansion (round 5). Oracle: explicit Python
+    repetition of each item id ``count`` times."""
 
-    def test_branches_agree(self):
-        from primitive3d_tpu.ops.marching_cubes import _mask_sort_idx
+    def _oracle(self, counts):
+        items, ranks = [], []
+        for i, c in enumerate(counts):
+            items += [i] * int(c)
+            ranks += list(range(int(c)))
+        return np.asarray(items), np.asarray(ranks)
 
-        rng = np.random.default_rng(11)
-        mask = jnp.asarray((rng.random(4096) < 0.13).astype(np.int32))
-        packed = np.asarray(_mask_sort_idx(mask))
-        pair = np.asarray(_mask_sort_idx(mask, packed_limit=0))
-        np.testing.assert_array_equal(packed, pair)
-        k = int(mask.sum())
+    def test_randomized_against_oracle(self):
+        from primitive3d_tpu.ops.marching_cubes import _expand_src
+
+        rng = np.random.default_rng(5)
+        n, cap = 700, 1024  # fixed shapes: one compile for all trials
+        fn = jax.jit(lambda c: _expand_src(c, cap))
+        for _ in range(8):
+            counts = rng.integers(0, 6, n)
+            item, rank = fn(jnp.asarray(counts, jnp.int32))
+            oi, orank = self._oracle(counts)
+            m = min(cap, int(counts.sum()))
+            np.testing.assert_array_equal(np.asarray(item)[:m], oi[:m])
+            np.testing.assert_array_equal(np.asarray(rank)[:m], orank[:m])
+
+    def test_edge_cases(self):
+        from primitive3d_tpu.ops.marching_cubes import _expand_src
+
+        # all-zero counts: slots decode to in-bounds garbage (contract)
+        item, rank = _expand_src(jnp.zeros((64,), jnp.int32), 16)
+        assert np.asarray(item).min() >= 0 and np.asarray(item).max() < 64
+        # single item owning everything; capacity truncation mid-item
+        item, rank = _expand_src(jnp.asarray([7], jnp.int32), 5)
+        np.testing.assert_array_equal(np.asarray(item), np.zeros(5))
+        np.testing.assert_array_equal(np.asarray(rank), np.arange(5))
+        # leading/trailing empty items skipped exactly
+        counts = jnp.asarray([0, 0, 3, 0, 2, 0], jnp.int32)
+        item, rank = _expand_src(counts, 5)
+        np.testing.assert_array_equal(np.asarray(item), [2, 2, 2, 4, 4])
+        np.testing.assert_array_equal(np.asarray(rank), [0, 1, 2, 0, 1])
+        # super-group boundary straddle: item 31 spills into super 1's slots
+        counts = np.zeros(64, np.int64)
+        counts[31], counts[32], counts[63] = 4, 1, 2
+        item, rank = _expand_src(jnp.asarray(counts, jnp.int32), 7)
         np.testing.assert_array_equal(
-            np.sort(packed[:k]), np.flatnonzero(np.asarray(mask)))
+            np.asarray(item), [31, 31, 31, 31, 32, 63, 63])
+        np.testing.assert_array_equal(np.asarray(rank), [0, 1, 2, 3, 0, 0, 1])
 
-    def test_exact_boundary_2_27(self):
-        """n == 2^27: the largest index is 2^27 - 1, which still fits the
-        27-bit packed field — the packed path must remain exact there."""
-        from primitive3d_tpu.ops.marching_cubes import _mask_sort_idx
+    def test_twolevel_src_selection_oracle(self):
+        from primitive3d_tpu.ops.marching_cubes import _twolevel_src
 
-        n = 1 << 27
-        # sparse set positions incl. the extremes and the packed-field edge
-        set_pos = np.array(
-            [0, 1, 12345, (1 << 26) + 7, n - 2, n - 1], np.int64)
-        mask = np.zeros(n, np.int8)
-        mask[set_pos] = 1
-        src = np.asarray(_mask_sort_idx(jnp.asarray(mask))[: len(set_pos)])
-        np.testing.assert_array_equal(np.sort(src), set_pos)
-
-    def test_past_boundary_pair_path(self):
-        """n > 2^27 takes the pair-sort path; same contract."""
-        from primitive3d_tpu.ops.marching_cubes import _mask_sort_idx
-
-        n = (1 << 27) + 4096
-        set_pos = np.array([3, (1 << 27) - 1, (1 << 27), n - 1], np.int64)
-        mask = np.zeros(n, np.int8)
-        mask[set_pos] = 1
-        src = np.asarray(_mask_sort_idx(jnp.asarray(mask))[: len(set_pos)])
-        np.testing.assert_array_equal(np.sort(src), set_pos)
+        rng = np.random.default_rng(6)
+        E, cap = 5000, 512
+        fn = jax.jit(lambda m: _twolevel_src(m, cap, 0)[0])
+        for density in (0.02, 0.3, 0.9):
+            mask = (rng.random(E) < density).astype(np.int8)
+            src = np.asarray(fn(jnp.asarray(mask)))
+            exp = np.flatnonzero(mask)
+            m = min(cap, len(exp))
+            np.testing.assert_array_equal(src[:m], exp[:m])

@@ -149,10 +149,10 @@ def test_grad_parity_stream_vs_resident_on_chip(scene):
 
 
 def test_mc_512_grid_smoke():
-    """512^3 extraction: the edge mask is 4e8 elements — past the 2^27
-    packed-sort-key boundary (_mask_sort_idx takes the pair path) and the
-    natural next scale after the flagship's 256^3. Reduced-region sphere so
-    tight capacities stay modest; asserts no overflow and exact counts."""
+    """512^3 extraction: the edge mask is 4e8 elements — the natural next
+    scale after the flagship's 256^3 (and past the int32-exactness traps of
+    the scan/decode machinery). Reduced-region sphere so tight capacities
+    stay modest; asserts no overflow and exact counts."""
     _require_tpu()
     from primitive3d_tpu.ops.marching_cubes import (_counts_impl,
                                                     marching_cubes_padded)
