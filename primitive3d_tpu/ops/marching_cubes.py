@@ -766,7 +766,8 @@ class MCSoupResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("face_capacity", "fused_masks_mode", "active_capacity"),
+    static_argnames=("face_capacity", "fused_masks_mode", "active_capacity",
+                     "x_total"),
 )
 def _mc_soup_impl(
     density: Array,
@@ -776,6 +777,9 @@ def _mc_soup_impl(
     face_capacity: int,
     fused_masks_mode: int = 0,
     active_capacity: int = 0,
+    row_limit: Optional[Array] = None,
+    x_offset: Optional[Array] = None,
+    x_total: int = 0,
 ) -> MCSoupResult:
     """Triangle-soup marching cubes: positions emitted AT the face pass.
 
@@ -791,6 +795,14 @@ def _mc_soup_impl(
     those gathers (their transpose is a coherent scatter-add into the
     grid). Use :func:`marching_cubes_padded` when an indexed mesh is
     actually needed (IO, deduplicated vertices).
+
+    Shard-window mode (``parallel/pipeline.py``): when ``density`` is an
+    x-slab of a larger grid (plus one halo row), ``row_limit`` masks cube
+    rows at/after the shard's owned range end, ``x_offset`` is the slab's
+    global first x index (positions come out in GLOBAL world space), and
+    ``x_total`` the full grid's x extent (sets the world scale). A soup
+    needs no vertex numbering, so x-slab sharding needs no distributed
+    scans at all — only the 1-row halo.
     """
     X, Y, Z = density.shape
     if fused_masks_mode:
@@ -799,7 +811,13 @@ def _mc_soup_impl(
         _, _, _, cmask = fused_masks(jax.lax.stop_gradient(density), thresh)
     else:
         cmask = _cube_mask((density > thresh).astype(jnp.uint8))
-    scale = (upper - lower) / jnp.asarray([X, Y, Z], jnp.float32)
+    if row_limit is not None:
+        rows_ok = (jnp.arange(X - 1, dtype=jnp.int32)
+                   < row_limit)[:, None, None]
+        cmask = cmask * rows_ok.astype(cmask.dtype)
+    Xg = x_total or X
+    xoff = jnp.int32(0) if x_offset is None else x_offset.astype(jnp.int32)
+    scale = (upper - lower) / jnp.asarray([Xg, Y, Z], jnp.float32)
 
     mask = cmask.reshape(-1).astype(jnp.int32)  # (C,)
     ntris = _ntris_vec(mask)
@@ -858,7 +876,7 @@ def _mc_soup_impl(
         code1 = code0 + jnp.where(ax == 0, 4, jnp.where(ax == 1, 2, 1))
         d0 = _select8(cd8, code0)
         d1 = _select8(cd8, code1)
-        ei = ci + dx0
+        ei = ci + xoff + dx0  # global x (xoff = 0 in single-grid mode)
         ej = cj + dy0
         ek = ck + dz0
         den = d1 - d0

@@ -4,16 +4,18 @@ Scales the differentiable SDF -> mesh -> depth-render step (pipeline.py)
 over a device mesh (BASELINE.md config 5: 1080p rays + 256^3 grid + grad,
 sharded over hosts). One mesh axis carries BOTH decompositions:
 
-  * the density grid is x-slab sharded — each device runs the sharded
-    marching-cubes body (parallel/marching_cubes.mc_shard_body: halo
-    ppermute, distributed prefix scan, globally consistent vertex ids) on
-    its slab, so extraction and its backward scale with devices;
-  * the mesh shards are then all-gathered (a few MB of vertices/faces per
-    step — the gathers are differentiable, so XLA inserts the matching
-    reduce-scatters in the backward) and every device builds the identity-
-    order cluster set from the gathered soup. The build is a few ms of
-    elementwise/reshape work — cheaper than all-gathering the 100+ MB
-    Plücker tensor it produces;
+  * the density grid is x-slab sharded — each device runs SOUP-direct
+    marching cubes (ops/marching_cubes._mc_soup_impl in shard-window mode)
+    on its slab + a 1-row +x halo. A triangle soup has no vertex ids, so
+    the sharded extraction needs NO distributed prefix scans, no global-id
+    remap, and no vertex all-gather (round 4 composed mc_shard_body +
+    remap + de-index here; the soup path deleted all three stages) —
+    extraction and its backward scale with devices;
+  * the per-shard soups are all-gathered (a few MB per step — the gather
+    is differentiable, so XLA inserts the matching reduce-scatter in the
+    backward) and every device builds the identity-order cluster set from
+    the gathered soup. The build is a few ms of elementwise/reshape work —
+    cheaper than all-gathering the 100+ MB Plücker tensor it produces;
   * rays are data-parallel: each device runs the streaming MXU cast with
     in-kernel finish selection on its ray slice (cast_clusters_diff), and
     the plane-cotangent scatter runs the work-list backward kernel per
@@ -36,22 +38,9 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..core import debug
 from ..kernels.raycast_kernel import cast_clusters_diff
-from .marching_cubes import mc_shard_body
-
-
-def _remap_to_slots(faces, vbase_all, vcap):
-    """Map globally-numbered vertex ids to gathered-buffer slot positions.
-
-    Shard j owns global ids [vbase_all[j], vbase_all[j] + vcount_j), stored
-    at buffer slots [j * vcap, j * vcap + vcount_j). The owning shard of id
-    g is the LAST j with vbase_all[j] <= g (ties = empty shards). S is tiny,
-    so the search is a broadcast compare, not a gather."""
-    S = vbase_all.shape[0]
-    ge = faces[..., None] >= vbase_all  # (..., S)
-    j = jnp.sum(ge.astype(jnp.int32), axis=-1) - 1  # (...,)
-    j = jnp.clip(j, 0, S - 1)
-    return faces - vbase_all[j] + j * vcap
+from ..ops.marching_cubes import _mc_soup_impl
 
 
 def sharded_sdf_fitting_loss(
@@ -63,7 +52,7 @@ def sharded_sdf_fitting_loss(
     axis_name: str = "data",
     *,
     thresh: float = 0.0,
-    vert_capacity: int,
+    vert_capacity: int = 0,  # unused since round 5 (soup path, no verts)
     face_capacity: int,
     lower=None,
     upper=None,
@@ -80,17 +69,17 @@ def sharded_sdf_fitting_loss(
 
     Matches :func:`primitive3d_tpu.pipeline.sdf_fitting_loss` semantics
     (same mean over the full ray batch; same plane-hold-fixed gradients),
-    with the capacities interpreted GLOBALLY: each shard gets a
-    ``capacity / S`` slice (callers should keep capacities divisible by
-    ``S * 128``). NOTE the sharding caveat: capacities must bound the WORST
-    shard's load times S, not just the global total — a surface concentrated
-    in a few x-slabs can overflow those shards' slices while the global
-    counts fit. Per-shard counts are asserted against the per-shard caps
-    device-side when traced under :func:`core.debug.checks`
+    with ``face_capacity`` interpreted GLOBALLY: each shard gets a
+    ``face_capacity / S`` slice (callers should keep it divisible by
+    ``S * 128``). NOTE the sharding caveat: the capacity must bound the
+    WORST shard's load times S, not just the global total — a surface
+    concentrated in a few x-slabs can overflow those shards' slices while
+    the global count fits. Per-shard counts are asserted against the
+    per-shard cap device-side when traced under :func:`core.debug.checks`
     (``debug.checked``); outside a debug scope an overflowing shard
-    truncates silently (same contract as ``MCResult.overflowed``, which the
-    scalar-loss API here cannot additionally return). The ray count must
-    divide the axis size.
+    truncates silently (same contract as ``MCSoupResult.overflowed``, which
+    the scalar-loss API here cannot additionally return). The ray count
+    must divide the axis size.
 
     Differentiable wrt ``density``; the gradient comes back replicated
     (XLA all-reduces the per-shard contributions of the replicated
@@ -104,12 +93,12 @@ def sharded_sdf_fitting_loss(
     S = mesh.shape[axis_name]
     R = origins.shape[0]
     X = density.shape[0]
-    vcap = -(-vert_capacity // S)
+    del vert_capacity, vert_units, cube_units  # soup path: no vertex stage
     fcap = -(-face_capacity // (S * 128)) * 128  # identity clusters pad 128
     thr = jnp.float32(thresh)
 
     # x-slab sharding needs X divisible by S: pad with edge-row replicas
-    # (mc_shard_body masks rows >= Xv, so padding emits nothing)
+    # (row_limit masks the padded cube rows, so padding emits nothing)
     Xp = -(-X // S) * S
     if Xp != X:
         density = jnp.concatenate(
@@ -117,17 +106,16 @@ def sharded_sdf_fitting_loss(
             axis=0,
         )
 
-    # world-coordinate mapping — same bbox convention as the single-chip op
-    # (ops/marching_cubes.py: world = index * (upper-lower)/res + lower)
+    # world-coordinate bounds — same bbox convention as the single-chip op
+    # (ops/marching_cubes.py: world = index * (upper-lower)/res + lower);
+    # the soup impl derives the scale from these with x_total = unpadded X
     if lower is not None:
-        lo = jnp.asarray(lower, jnp.float32)
-        hi = jnp.asarray(upper, jnp.float32)
-        # original (unpadded) resolution, matching marching_cubes_padded
-        scale = (hi - lo) / jnp.asarray(
-            [X, density.shape[1], density.shape[2]], jnp.float32)
+        lo_w = jnp.asarray(lower, jnp.float32)
+        up_w = jnp.asarray(upper, jnp.float32)
     else:
-        lo = jnp.zeros((3,), jnp.float32)
-        scale = jnp.ones((3,), jnp.float32)
+        lo_w = jnp.zeros((3,), jnp.float32)
+        up_w = jnp.asarray(
+            [X, density.shape[1], density.shape[2]], jnp.float32)
 
     @functools.partial(
         shard_map,
@@ -137,20 +125,32 @@ def sharded_sdf_fitting_loss(
         check_vma=False,  # mixed invariant/varying carries in the MC scans
     )
     def local(slab, o, d, t):
-        v_k, f_k, vb, fb, vc, fc = mc_shard_body(
-            slab, thresh=thr, axis_name=axis_name, S=S, Xv=X,
-            vert_cap_per_shard=vcap, face_cap_per_shard=fcap,
-            vert_units=vert_units, cube_units=cube_units,
+        # Per-shard SOUP extraction (round 5): a triangle soup needs no
+        # vertex numbering, so the x-slab sharding needs no distributed
+        # prefix scans, no global-id remap, and no vertex all-gather —
+        # only a 1-row +x halo (each owned cube row x needs density row
+        # x+1). Invalid face slots emit point triangles -> guaranteed
+        # misses, exactly like the single-chip soup path.
+        s = jax.lax.axis_index(axis_name)
+        Xs = slab.shape[0]
+        perm = [(i, (i - 1) % S) for i in range(S)]
+        halo = jax.lax.ppermute(slab[0:1], axis_name, perm)
+        halo = jnp.where(s == S - 1, slab[-1:], halo)
+        g = jnp.concatenate([slab, halo], axis=0)  # (Xs + 1, Y, Z)
+        # owned cube rows: global [s*Xs, min((s+1)*Xs, X-1))
+        row_limit = jnp.clip(X - 1 - s * Xs, 0, Xs)
+        fused = 1 if jax.default_backend() in ("tpu", "axon") else 0
+        sres = _mc_soup_impl(
+            g, thr, lo_w, up_w, fcap, fused, fcap,
+            row_limit=row_limit, x_offset=s * Xs, x_total=X,
         )
-        # index space -> world space (differentiable through v_k)
-        v_k = v_k * scale[None, :] + lo[None, :]
-        # face slots beyond this shard's count reference vertex id 0 ->
-        # they de-index to point triangles (never hit) after the remap
-        v_all = jax.lax.all_gather(v_k, axis_name, tiled=True)  # (S*vcap,3)
-        vb_all = jax.lax.all_gather(vb, axis_name, tiled=True)  # (S,)
-        slots = _remap_to_slots(f_k, vb_all, vcap)  # (fcap, 3)
-        soup_k = v_all[slots]  # (fcap, 3, 3) — sharded de-index
-        soup = jax.lax.all_gather(soup_k, axis_name, tiled=True)
+        debug.check(
+            sres.num_faces <= fcap,
+            "sharded_sdf_fitting_loss: shard face count {f} exceeds the "
+            "per-shard capacity {c}",
+            f=sres.num_faces, c=jnp.int32(fcap),
+        )
+        soup = jax.lax.all_gather(sres.soup, axis_name, tiled=True)
         depth, _ = cast_clusters_diff(
             soup, o, d, max_dist=max_dist,
             interpret=jax.default_backend() not in ("tpu", "axon"),

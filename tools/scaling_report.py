@@ -262,8 +262,8 @@ def main():
                         "(tools/sharded_split.py, real chip) — not "
                         "single-chip proxies",
                 "x1_sharded_stage_ms": {
-                    "mc_shard_body": ss["mc_body_ms"],
-                    "gather_remap_deindex": round(
+                    "soup_shard_body": ss["mc_body_ms"],
+                    "soup_all_gather": round(
                         ss["soup_ms"] - ss["mc_body_ms"], 2),
                     "cluster_build_cast_epilogue (replicated build)": round(
                         ss["loss_fwd_ms"] - ss["soup_ms"], 2),

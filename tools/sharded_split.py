@@ -6,8 +6,8 @@ understated the sharded MC body's ~3x x1 overhead. This probe times the
 actual sharded composition's stages on a 1-device mesh (the real chip) so
 SCALING_r5's accounting divides measured sharded work, not proxies:
 
-  mc_body   — mc_shard_body alone (halo ppermute + distributed scan)
-  gather    — + mesh all-gather + slot remap + soup de-index
+  soup_body — per-shard soup-direct MC (1-row halo, no vertex numbering)
+  gather    — + soup all-gather
   loss      — full sharded forward loss
   grad      — full value_and_grad (the training step)
 
@@ -41,9 +41,8 @@ def log(*a):
 
 
 def main():
-    from primitive3d_tpu.parallel.marching_cubes import mc_shard_body
-    from primitive3d_tpu.parallel.pipeline import (_remap_to_slots,
-                                                   sharded_sdf_fitting_loss)
+    from primitive3d_tpu.ops.marching_cubes import _mc_soup_impl
+    from primitive3d_tpu.parallel.pipeline import sharded_sdf_fitting_loss
     from primitive3d_tpu.render.camera import camera_rays
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
@@ -71,37 +70,42 @@ def main():
             shard_map, mesh=mesh, in_specs=(P("data"),), out_specs=P(),
             check_vma=False)(fn))
 
-    # --- (a) mc body alone --------------------------------------------------
+    # --- (a) per-shard soup body alone --------------------------------------
+    lo_w = jnp.full((3,), -1.0, jnp.float32)
+    up_w = jnp.full((3,), 1.0, jnp.float32)
+
+    def soup_body(slab):
+        s = jax.lax.axis_index("data")
+        Xs = slab.shape[0]
+        perm = [(i, (i - 1) % S) for i in range(S)]
+        halo = jax.lax.ppermute(slab[0:1], "data", perm)
+        halo = jnp.where(s == S - 1, slab[-1:], halo)
+        g = jnp.concatenate([slab, halo], axis=0)
+        row_limit = jnp.clip(X - 1 - s * Xs, 0, Xs)
+        sres = _mc_soup_impl(
+            g, thr, lo_w, up_w, fcap, 1, fcap,
+            row_limit=row_limit, x_offset=s * Xs, x_total=X)
+        return sres
+
     def body_only(slab):
-        v_k, f_k, vb, fb, vc, fc = mc_shard_body(
-            slab, thresh=thr, axis_name="data", S=S, Xv=X,
-            vert_cap_per_shard=vcap, face_cap_per_shard=fcap)
-        return jax.lax.psum(
-            jnp.sum(v_k) + jnp.sum(f_k).astype(jnp.float32), "data")
+        return jax.lax.psum(jnp.sum(soup_body(slab).soup), "data")
 
     f_a = smap(body_only)
     float(f_a(d))
     t_a = slope_time(lambda: f_a(d), 5)
-    log(f"mc_shard_body x{nd}: {t_a*1e3:.2f} ms")
+    log(f"soup shard body x{nd}: {t_a*1e3:.2f} ms")
     report["mc_body_ms"] = round(t_a * 1e3, 2)
 
-    # --- (b) + gather + remap + de-index soup -------------------------------
+    # --- (b) + soup all-gather ----------------------------------------------
     def to_soup(slab):
-        v_k, f_k, vb, fb, vc, fc = mc_shard_body(
-            slab, thresh=thr, axis_name="data", S=S, Xv=X,
-            vert_cap_per_shard=vcap, face_cap_per_shard=fcap)
-        v_k = v_k * scale[None, :] + lo[None, :]
-        v_all = jax.lax.all_gather(v_k, "data", tiled=True)
-        vb_all = jax.lax.all_gather(vb, "data", tiled=True)
-        slots = _remap_to_slots(f_k, vb_all, vcap)
-        soup_k = v_all[slots]
-        soup = jax.lax.all_gather(soup_k, "data", tiled=True)
+        soup = jax.lax.all_gather(
+            soup_body(slab).soup, "data", tiled=True)
         return jax.lax.psum(jnp.sum(soup), "data")
 
     f_b = smap(to_soup)
     float(f_b(d))
     t_b = slope_time(lambda: f_b(d), 5)
-    log(f"+ gather/remap/de-index x{nd}: {t_b*1e3:.2f} ms")
+    log(f"+ soup all-gather x{nd}: {t_b*1e3:.2f} ms")
     report["soup_ms"] = round(t_b * 1e3, 2)
 
     # --- (c) full forward loss ----------------------------------------------
