@@ -240,15 +240,21 @@ def main():
 
     # --- secondary: marching cubes ------------------------------------------
     try:
-        from primitive3d_tpu.ops.marching_cubes import (
-            _counts_impl, _round_capacity)
+        from primitive3d_tpu.ops.marching_cubes import _counts_impl
+
+        def round4k(n):
+            return max(-(-int(n) // 4096) * 4096, 4096)
 
         def tight(g):
+            # 4096-rounded measured budgets — the SAME capacity convention
+            # as tools/flagship_probe.py/mc_split.py so M1 and M2 are
+            # comparable. (r1-r4 used power-of-two rounding here, up to
+            # 2x the tight slot count: the r4 M1 256^3 figure of 57.6 ms
+            # carried ~34% capacity padding the probes did not.)
             nv, nf, vu, cu, na = (
                 int(q) for q in _counts_impl(g, jnp.float32(0)))
-            return (_round_capacity(nv), _round_capacity(nf),
-                    _round_capacity(vu), _round_capacity(cu),
-                    _round_capacity(na))
+            return (round4k(nv), round4k(nf),
+                    round4k(vu), round4k(cu), round4k(na))
 
         def mc_bench(name, grid, K):
             try:
