@@ -62,7 +62,7 @@ def sharded_sdf_fitting_loss(
     mxu_max_tris=None,
     mxu_stream_max_tris=None,
     backend: str = "pallas",  # the only sharded cast path (validated below)
-    active_capacity: int = 0,  # unused (per-shard budgets are derived)
+    active_capacity: int = 0,  # GLOBAL active-cube bound (safe per shard)
     chunk: int = 512,  # unused in the sharded composition
 ):
     """L2 depth-matching loss, extraction-sharded AND ray-sharded.
@@ -95,6 +95,13 @@ def sharded_sdf_fitting_loss(
     X = density.shape[0]
     del vert_capacity, vert_units, cube_units  # soup path: no vertex stage
     fcap = -(-face_capacity // (S * 128)) * 128  # identity clusters pad 128
+    # per-shard active-cube budget: a shard's active count is bounded by
+    # the GLOBAL active count, so the caller's global bound is safe on
+    # every shard (no /S division — concentration cannot break it) and is
+    # typically ~4x tighter than fcap, which the selection/expansion and
+    # the corner-scatter backward all scale with
+    acap = min(fcap, -(-active_capacity // 128) * 128) if active_capacity \
+        else fcap
     thr = jnp.float32(thresh)
 
     # x-slab sharding needs X divisible by S: pad with edge-row replicas
@@ -141,13 +148,13 @@ def sharded_sdf_fitting_loss(
         row_limit = jnp.clip(X - 1 - s * Xs, 0, Xs)
         fused = 1 if jax.default_backend() in ("tpu", "axon") else 0
         sres = _mc_soup_impl(
-            g, thr, lo_w, up_w, fcap, fused, fcap,
+            g, thr, lo_w, up_w, fcap, fused, acap,
             row_limit=row_limit, x_offset=s * Xs, x_total=X,
         )
         debug.check(
-            sres.num_faces <= fcap,
+            jnp.logical_not(jnp.asarray(sres.overflowed)),
             "sharded_sdf_fitting_loss: shard face count {f} exceeds the "
-            "per-shard capacity {c}",
+            "per-shard face/active capacity {c}",
             f=sres.num_faces, c=jnp.int32(fcap),
         )
         soup = jax.lax.all_gather(sres.soup, axis_name, tiled=True)

@@ -73,6 +73,9 @@ def main():
     # --- (a) per-shard soup body alone --------------------------------------
     lo_w = jnp.full((3,), -1.0, jnp.float32)
     up_w = jnp.full((3,), 1.0, jnp.float32)
+    # same per-shard active budget the pipeline derives: the global tight
+    # bound is safe on every shard (concentration cannot break it)
+    acap = min(fcap, -(-na // 128) * 128)
 
     def soup_body(slab):
         s = jax.lax.axis_index("data")
@@ -83,7 +86,7 @@ def main():
         g = jnp.concatenate([slab, halo], axis=0)
         row_limit = jnp.clip(X - 1 - s * Xs, 0, Xs)
         sres = _mc_soup_impl(
-            g, thr, lo_w, up_w, fcap, 1, fcap,
+            g, thr, lo_w, up_w, fcap, 1, acap,
             row_limit=row_limit, x_offset=s * Xs, x_total=X)
         return sres
 
@@ -110,6 +113,7 @@ def main():
 
     # --- (c) full forward loss ----------------------------------------------
     kw = dict(thresh=0.0, vert_capacity=VC, face_capacity=FC,
+              active_capacity=na,
               lower=(-1, -1, -1), upper=(1, 1, 1), max_dist=10.0)
 
     lossf = jax.jit(
